@@ -1,0 +1,355 @@
+"""CHOMP costs, functional gradients, and the per-step optimizer update.
+
+TPU-native re-design of ``omg/cost.py`` + ``omg/optimizer.py``: where the
+reference ping-pongs between host numpy (FK, Jacobians, projection algebra)
+and a CUDA kernel (SDF lookups) twice per step (``omg/cost.py:136-143``),
+everything here is one jit-compiled device program with static shapes:
+
+  FK -> body points -> SDF hinge potentials -> point Jacobians ->
+  functional gradient (top-k masked) -> smoothness -> goal-set projection ->
+  finger clamp -> joint-limit smoothing -> termination predicates.
+
+Intentional deviations from reference numerics (documented per function):
+  * top-k gradient scatter *accumulates* contributions from multiple
+    selected points at the same (timestep, joint); the reference's numpy
+    fancy-index ``+=`` silently keeps only one duplicate
+    (``omg/cost.py:418-421``) — accumulation is what the dense (top_k=0)
+    branch and the CHOMP formulation prescribe.
+  * the per-(timestep, link) obstacle cost report aggregates selected-point
+    costs at their own timesteps; the reference broadcasts a scalar sum over
+    all timesteps (``omg/cost.py:409-416``, reporting only).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DIFF_RULES, DIFF_RULE_LENGTH, HorizonParams, OMGConfig
+from ..models import panda
+from ..utils.diff import get_derivative
+from .sdf import SceneSDF, sdf_potentials
+
+
+class CostParams(NamedTuple):
+    """Per-scene collision parameters (built once per scene by the Env).
+
+    Mirrors the marshaling in ``Cost.compute_obstacle_cost_layer``
+    (``omg/cost.py:299-335``).
+    """
+
+    inv_poses: jnp.ndarray       # [O, 4, 4] world -> object
+    epsilons: jnp.ndarray        # [O]
+    padding_scales: jnp.ndarray  # [O]
+    clearances: jnp.ndarray      # [O]
+    disables: jnp.ndarray        # [O]
+    target_idx: jnp.ndarray      # scalar int
+
+
+class GoalSet(NamedTuple):
+    """Fixed-capacity goal set (masked; replaces ragged python lists)."""
+
+    grasps: jnp.ndarray        # [G, 9] final grasp configs (traj.goal_set)
+    reach_grasps: jnp.ndarray  # [G, tail, 9] standoff tails (last == grasp)
+    mask: jnp.ndarray          # [G] bool valid
+    potentials: jnp.ndarray    # [G] collision potential at goal
+
+    @property
+    def capacity(self) -> int:
+        return self.grasps.shape[0]
+
+    @property
+    def num_valid(self) -> jnp.ndarray:
+        return self.mask.sum()
+
+
+class CostInfo(NamedTuple):
+    """Per-step diagnostics (the reference's ``info`` dict,
+    ``omg/cost.py:509-530``), as a static-shape pytree."""
+
+    cost: jnp.ndarray
+    obs: jnp.ndarray
+    smooth: jnp.ndarray
+    weighted_obs: jnp.ndarray
+    weighted_smooth: jnp.ndarray
+    grad_norm: jnp.ndarray
+    smooth_grad_norm: jnp.ndarray
+    obs_grad_norm: jnp.ndarray
+    collide: jnp.ndarray
+    reach: jnp.ndarray
+    terminate: jnp.ndarray
+    failure_terminate: jnp.ndarray
+    execute: jnp.ndarray
+    violate_limit: jnp.ndarray
+    cost_traj: jnp.ndarray     # [T]
+
+
+def smooth_loss(
+    hp: HorizonParams,
+    cfg: OMGConfig,
+    xi: jnp.ndarray,     # [T, dof]
+    start: jnp.ndarray,  # [dof]
+    end: jnp.ndarray,    # [dof]
+):
+    """Finite-difference velocity-norm smoothness (``omg/cost.py:425-449``).
+
+    Returns (loss [T+1], grad [T, dof]).
+    """
+    d1 = jnp.asarray(hp.diff_matrices[0])
+    a = jnp.asarray(hp.A)
+    mid = DIFF_RULE_LENGTH // 2
+    ed = jnp.zeros((xi.shape[0] + 1, xi.shape[1]), xi.dtype)
+    ed = ed.at[0].set(DIFF_RULES[0][mid - 1] * start / hp.time_interval)
+    if not cfg.goal_set_proj:
+        ed = ed.at[-1].set(DIFF_RULES[0][mid] * end / hp.time_interval)
+    velocity = d1 @ xi
+    vel_norm = jnp.linalg.norm(velocity + ed, axis=1)
+    loss = 0.5 * vel_norm**2
+    grad = a @ xi + d1.T @ ed
+    return loss, grad
+
+
+def forward_kinematics_obstacle(
+    model: panda.PandaModel,
+    scene: SceneSDF,
+    params: CostParams,
+    cfg: OMGConfig,
+    hp: HorizonParams,
+    xi: jnp.ndarray,
+    start: jnp.ndarray,
+    end: jnp.ndarray,
+):
+    """FK + SDF + derivatives for the whole trajectory
+    (``omg/cost.py:112-190``), one fused device computation.
+
+    Returns (x, v, a_ws, jac, potentials, grads, collide_count) with
+    x/v/a_ws: [T, 10, P, 3]; jac: [T, 10, P, 9, 3]; potentials: [T, 10, P].
+    """
+    t_dim = xi.shape[0]
+    poses, origins_w, axes_w = panda.fk_with_joint_info_batch(model, xi)
+    x = panda.collision_point_positions(model, poses)  # [T, 10, P, 3]
+    p = x.shape[2]
+
+    pts_flat = x.reshape(-1, 3)
+    pot, grad, collide = sdf_potentials(
+        scene, params.inv_poses, pts_flat, params.epsilons,
+        params.padding_scales, params.clearances, params.disables)
+    pot = pot.reshape(t_dim, panda.NUM_LINKS, p)
+    grad = grad.reshape(t_dim, panda.NUM_LINKS, p, 3)
+    collide = collide.reshape(t_dim, panda.NUM_LINKS, p)
+
+    if cfg.uncheck_finger_collision == -1:
+        # soften finger potentials (omg/cost.py:350-353)
+        scale = jnp.ones((panda.NUM_LINKS,), pot.dtype).at[-2:].set(0.1)
+        pot = pot * scale[None, :, None]
+        grad = grad * scale[None, :, None, None]
+        collide = collide.at[:, -2:].set(0.0)
+
+    jac = panda.point_jacobians(model, origins_w, axes_w, x)
+
+    # endpoint body-point positions for the boundary-corrected derivatives
+    x_start = panda.collision_point_positions(
+        model, panda.forward_kinematics(model, start))
+    x_end = panda.collision_point_positions(
+        model, panda.forward_kinematics(model, end))
+    # differentiate along time: arrange [10, P, T, 3]
+    xs = jnp.moveaxis(x, 0, 2)
+    v = get_derivative(hp, xs, x_start[..., None, :], x_end[..., None, :], 1)
+    a_ws = get_derivative(hp, xs, x_start[..., None, :], x_end[..., None, :], 2)
+    v = jnp.moveaxis(v, 2, 0)
+    a_ws = jnp.moveaxis(a_ws, 2, 0)
+    return x, v, a_ws, jac, pot, grad, collide.sum()
+
+
+def _functional_grad_terms(v, a_ws, pot, grad):
+    """CHOMP workspace functional gradient terms (``omg/cost.py:24-43``).
+
+    All inputs are [..., 3] / [...] shaped; returns
+    (pointwise cost [...], workspace direction [..., 3])::
+
+        cost = pot * |v|
+        dir  = |v| P g - pot P a / |v|^2,   P = I - v_hat v_hat^T
+    """
+    vel_norm = jnp.linalg.norm(v, axis=-1, keepdims=True)  # [..., 1]
+    cost = pot * vel_norm[..., 0]
+    v_hat = v / (vel_norm + 1e-8)
+
+    def proj(w):
+        return w - v_hat * jnp.sum(v_hat * w, axis=-1, keepdims=True)
+
+    curv = pot[..., None] * proj(a_ws) / (vel_norm**2 + 1e-8)
+    direction = vel_norm * proj(grad) - curv
+    return cost, direction
+
+
+def compute_collision_loss(
+    model: panda.PandaModel,
+    scene: SceneSDF,
+    params: CostParams,
+    cfg: OMGConfig,
+    hp: HorizonParams,
+    xi: jnp.ndarray,
+    start: jnp.ndarray,
+    end: jnp.ndarray,
+):
+    """Obstacle loss + config-space gradient (``omg/cost.py:362-423``).
+
+    Top-k sparsification keeps the ``cfg.top_k_collision`` highest-potential
+    (timestep, link, point) triples; implemented as a mask instead of the
+    reference's host-side argsort + ragged scatter.
+    Returns (obs_cost [T, 10], obs_grad [T, 9], collide_count).
+    """
+    t_dim = xi.shape[0]
+    x, v, a_ws, jac, pot, grad, collide = forward_kinematics_obstacle(
+        model, scene, params, cfg, hp, xi, start, end)
+    p = pot.shape[-1]
+
+    cost_pt, direction = _functional_grad_terms(v, a_ws, pot, grad)
+
+    total = t_dim * panda.NUM_LINKS * p
+    k = cfg.top_k_collision
+    if k and k < total:
+        flat = pot.reshape(-1)
+        kth = jax.lax.top_k(flat, k)[0][-1]
+        sel = (pot >= kth).astype(pot.dtype)
+    else:
+        sel = jnp.ones_like(pot)
+
+    if not cfg.consider_finger and k:
+        # finger links are excluded from gradient/cost contributions in the
+        # top-k branch (omg/cost.py:401-402)
+        link_mask = jnp.ones((panda.NUM_LINKS,), pot.dtype).at[-2:].set(0.0)
+        sel = sel * link_mask[None, :, None]
+
+    obs_cost = (cost_pt * sel).sum(-1)  # [T, 10]
+    # grad[t, d] = sum_{j, p} sel * J[t,j,p,d,:] . direction[t,j,p,:]
+    obs_grad = jnp.einsum("tjpdc,tjpc->td", jac, direction * sel[..., None])
+    return obs_cost, obs_grad, collide
+
+
+def compute_total_loss(
+    model: panda.PandaModel,
+    scene: SceneSDF,
+    params: CostParams,
+    cfg: OMGConfig,
+    hp: HorizonParams,
+    xi: jnp.ndarray,
+    start: jnp.ndarray,
+    end: jnp.ndarray,
+    goal: jnp.ndarray,          # [9] termination target (goal_set[goal_idx])
+    obstacle_weight,
+    smoothness_weight,
+):
+    """Total cost/gradient/termination info (``omg/cost.py:451-532``)."""
+    s_loss, s_grad = smooth_loss(hp, cfg, xi, start, end)
+    o_cost, o_grad, collide = compute_collision_loss(
+        model, scene, params, cfg, hp, xi, start, end)
+
+    s_sum = s_loss.sum()
+    o_sum = o_cost.sum()
+    w_obs = obstacle_weight * o_sum
+    w_smooth = smoothness_weight * s_sum
+    w_obs_grad = jnp.clip(obstacle_weight * o_grad,
+                          -cfg.clip_grad_scale, cfg.clip_grad_scale)
+    w_smooth_grad = smoothness_weight * s_grad
+    cost = w_obs + w_smooth
+    grad = w_obs_grad + w_smooth_grad
+
+    cost_traj = obstacle_weight * o_cost.sum(-1) + smoothness_weight * s_loss[:-1]
+
+    goal_dist = (jnp.linalg.norm(xi[-1] - goal)
+                 if cfg.goal_set_proj else jnp.asarray(0.0, xi.dtype))
+    terminate = ((collide <= cfg.allow_collision_point)
+                 & (goal_dist < 0.01)
+                 & (s_sum < cfg.terminate_smooth_loss)) if cfg.pre_terminate \
+        else jnp.asarray(False)
+    failure = ((collide >= cfg.allow_collision_point * 10)
+               | (s_sum >= cfg.terminate_smooth_loss * 2.5))
+    execute = ((collide <= cfg.allow_collision_point)
+               & (s_sum < cfg.terminate_smooth_loss))
+
+    info = CostInfo(
+        cost=cost, obs=o_sum, smooth=s_sum,
+        weighted_obs=w_obs, weighted_smooth=w_smooth,
+        grad_norm=jnp.linalg.norm(grad),
+        smooth_grad_norm=jnp.linalg.norm(w_smooth_grad),
+        obs_grad_norm=jnp.linalg.norm(w_obs_grad),
+        collide=collide, reach=goal_dist,
+        terminate=jnp.asarray(terminate),
+        failure_terminate=failure, execute=execute,
+        violate_limit=jnp.asarray(False),
+        cost_traj=cost_traj,
+    )
+    return cost, grad, info
+
+
+def goal_set_projection_update(
+    hp: HorizonParams,
+    cfg: OMGConfig,
+    xi: jnp.ndarray,
+    grad: jnp.ndarray,
+    chosen_tail: jnp.ndarray,  # [k, 9] (tail for standoff, [1, 9] otherwise)
+    step_size,
+):
+    """Projected CHOMP step (``omg/optimizer.py:88-113``) using the
+    precomputed operators ``P_k`` and ``M_k`` (see
+    :class:`~omg_planner_tpu.config.HorizonParams`)."""
+    k = cfg.reach_tail_length if cfg.use_standoff else 1
+    m_k, p_k = hp.proj[k]
+    b = xi[-k:] - chosen_tail
+    return -step_size * (jnp.asarray(p_k) @ grad) - jnp.asarray(m_k) @ b
+
+
+def unconstrained_update(hp, grad, step_size):
+    """``-eta * Ainv @ grad`` (``omg/optimizer.py:132``)."""
+    return -step_size * (jnp.asarray(hp.Ainv) @ grad)
+
+
+def apply_update(cfg: OMGConfig, xi: jnp.ndarray, update: jnp.ndarray):
+    """Trajectory update + finger clamp (``omg/core.py:43-51``)."""
+    if cfg.consider_finger:
+        xi = xi + update
+    else:
+        xi = xi.at[:, :-2].add(update[:, :-2])
+    return xi.at[:, -2:].set(jnp.clip(xi[:, -2:], 0.0, 0.04))
+
+
+def handle_joint_limit(
+    hp: HorizonParams,
+    cfg: OMGConfig,
+    xi: jnp.ndarray,
+    lower: jnp.ndarray,
+    upper: jnp.ndarray,
+):
+    """Smoothed joint-limit projection (``omg/optimizer.py:148-164``):
+    repeatedly add ``scale * Ainv @ violation`` (<= joint_limit_max_steps)."""
+    ainv = jnp.asarray(hp.Ainv)
+
+    def violation(c):
+        return ((lower - c) * (c < lower) + (upper - c) * (c > upper))
+
+    def cond(state):
+        cnt, c = state
+        return (jnp.linalg.norm(violation(c)) > 1e-2) & (
+            cnt < cfg.joint_limit_max_steps)
+
+    def body(state):
+        cnt, c = state
+        tv = violation(c)
+        tvs = ainv @ tv
+        flat_idx = jnp.argmax(jnp.abs(tv))
+        scale = jnp.abs(tv).max() / (jnp.abs(tvs.reshape(-1)[flat_idx]) + 1e-8)
+        return cnt + 1, c + scale * tvs
+
+    _, xi = jax.lax.while_loop(cond, body, (jnp.asarray(0), xi))
+    return xi
+
+
+def check_joint_limit(xi, lower, upper):
+    """Reference ``check_joint_limit`` (``omg/optimizer.py:166-174``) —
+    including its quirk of ANDing the low/high masks elementwise."""
+    low = (xi < lower - 5e-3).any()
+    high = xi > upper + 5e-3
+    return (low * high).any()

@@ -1,0 +1,271 @@
+"""Online goal-selection learner (FTL / FTC / Proj / Exp / MD).
+
+Re-implements ``omg/online_learner.py`` as pure, static-shape JAX over a
+masked fixed-capacity goal set.  The candidate-cost evaluation
+(``cost_vector``, reference ``:104-160``) — linear interpolation from the
+current configuration to every goal, batched FK + SDF hinge potentials with
+arc-length weighting — is the largest single tensor computation in a plan
+step and runs as one fused program on device; the reference already batched
+it but bounced through host numpy and a CUDA layer.
+
+Static-shape note: the reference interpolates ``timesteps - start`` points
+(shrinking as optimization progresses, ``:109-114``); we use a fixed
+``cfg.num_interp`` sample count — the arc-length weighting makes the score a
+line-integral estimate, so sample density only changes quadrature
+resolution, not the ranking semantics.
+
+The Bregman projection ``bp`` onto the shifted simplex and its bisection
+root-finder reproduce reference ``:17-58`` with fixed iteration counts
+(bisection halves the step each iteration, so 40 iterations exhausts f32).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HorizonParams, OMGConfig
+from ..models import panda
+from ..utils.diff import get_derivative
+from ..utils.spline import multi_linear_interpolate
+from .chomp import CostParams, GoalSet
+from .sdf import SceneSDF, sdf_potentials
+
+NUM_EXPERTS = 5
+_ETA_POWERS = (-2, -1, 0, 2, 4)  # reference online_learner.py:84
+
+
+class LearnerState(NamedTuple):
+    p: jnp.ndarray             # [G] goal distribution
+    sum_costs: jnp.ndarray     # [G]
+    experts_p: jnp.ndarray     # [E, G]
+    experts_costs: jnp.ndarray  # [E]
+    q: jnp.ndarray             # [E] expert mixture
+    t: jnp.ndarray             # scalar float step count
+    ti: jnp.ndarray            # [G] per-goal selection counts
+
+
+def init_learner_state(goal_set: GoalSet) -> LearnerState:
+    g = goal_set.capacity
+    m = goal_set.mask.astype(jnp.float32)
+    n = jnp.maximum(m.sum(), 1.0)
+    uniform = m / n
+    return LearnerState(
+        p=uniform,
+        sum_costs=jnp.zeros(g),
+        experts_p=jnp.tile(uniform[None], (NUM_EXPERTS, 1)),
+        experts_costs=jnp.zeros(NUM_EXPERTS),
+        q=jnp.ones(NUM_EXPERTS) / NUM_EXPERTS,
+        t=jnp.asarray(0.0),
+        ti=jnp.zeros(g),
+    )
+
+
+def find_zero(f, x0, x1, iters: int = 40):
+    """Sign-bisection root finder (reference ``online_learner.py:17-29``)."""
+    x = (x0 + x1) / 2.0
+    s = (x1 - x0) / 4.0
+
+    def body(_, state):
+        x, s = state
+        y = f(x)
+        return x - s * jnp.sign(y), s / 2.0
+
+    x, _ = jax.lax.fori_loop(0, iters, body, (x, s))
+    return x
+
+
+def bregman_projection(x, v, delta, w, mask, iters: int = 20):
+    """Weighted/shifted-entropy Bregman projection onto the simplex
+    (reference ``bp``, ``online_learner.py:32-58``), masked to valid goals.
+    """
+    m = mask.astype(x.dtype)
+    alpha = jnp.zeros_like(x)
+    target = 1.0 + jnp.sum(delta * m)
+    shiftx = (x + delta) * m
+
+    def body(_, alpha):
+        z = (alpha - v) / w
+
+        def f(el):
+            return jnp.sum(shiftx * jnp.exp(jnp.clip(el / w + z, -60.0, 60.0))) - target
+
+        upper = jnp.max(jnp.where(mask, w + v, -jnp.inf))
+        el = find_zero(f, jnp.zeros_like(upper), upper)
+        alpha_prime = jnp.maximum(
+            0.0, v - el + w * jnp.log(delta / jnp.maximum(shiftx, 1e-20)))
+        return alpha_prime * m
+
+    alpha = jax.lax.fori_loop(0, iters, body, alpha)
+    z = (alpha - v) / w
+
+    def f(el):
+        return jnp.sum(shiftx * jnp.exp(jnp.clip(el / w + z, -60.0, 60.0))) - target
+
+    upper = jnp.max(jnp.where(mask, w + v, -jnp.inf))
+    el = find_zero(f, jnp.zeros_like(upper), upper)
+    y = shiftx * jnp.exp(jnp.clip((el + alpha - v) / w, -60.0, 60.0)) - delta
+    y = jnp.maximum(y * m, 0.0)
+    return y / jnp.maximum(jnp.sum(y), 1e-12)
+
+
+def cost_vector(
+    model: panda.PandaModel,
+    scene: SceneSDF,
+    params: CostParams,
+    cfg: OMGConfig,
+    hp: HorizonParams,
+    traj: jnp.ndarray,       # [T, 9]
+    goal_set: GoalSet,
+    t: jnp.ndarray,          # learner step (1-based at call, as reference)
+) -> jnp.ndarray:
+    """Goal-candidate objective estimates [G] (reference ``:104-160``)."""
+    clamp = 1
+    start_idx = jnp.minimum(
+        clamp + (t / cfg.optim_steps * cfg.timesteps).astype(jnp.int32) - 1,
+        cfg.timesteps - clamp)
+    start_idx = jnp.maximum(start_idx, 0)
+    traj_start = traj[start_idx]
+
+    goals = goal_set.grasps  # [G, 9]
+    n = cfg.num_interp
+    interp = multi_linear_interpolate(traj_start, goals, n)  # [G, n, 9]
+    g = goals.shape[0]
+    flat_q = interp.reshape(g * n, -1)
+
+    poses = panda.forward_kinematics_batch(model, flat_q)
+    x = panda.collision_point_positions(model, poses)  # [G*n, 10, P, 3]
+    p = x.shape[2]
+    pot, _, _ = sdf_potentials(
+        scene, params.inv_poses, x.reshape(-1, 3), params.epsilons,
+        params.padding_scales, params.clearances, params.disables)
+    pot = pot.reshape(g, n, panda.NUM_LINKS, p)
+
+    # arc-length weights: |d x / dt| along the interpolation axis
+    # (reference cost.py:235-275)
+    x_start = panda.collision_point_positions(
+        model, panda.forward_kinematics(model, traj_start))  # [10, P, 3]
+    x_goal = panda.collision_point_positions(
+        model, panda.forward_kinematics_batch(model, goals))  # [G, 10, P, 3]
+    xs = x.reshape(g, n, panda.NUM_LINKS, p, 3)
+    xs = jnp.moveaxis(xs, 1, 3)  # [G, 10, P, n, 3]
+    v = get_derivative(hp, xs, x_start[None], x_goal, 1)
+    speed = jnp.linalg.norm(v, axis=-1)          # [G, 10, P, n]
+    collision = (jnp.moveaxis(pot, 1, 3) * speed).sum(axis=(1, 2, 3))  # [G]
+
+    # config-space distance term: reference uses np.diff along the joint
+    # axis (online_learner.py:149-151)
+    diff = jnp.diff(traj_start[None, :] - goals, axis=-1)
+    smooth = jnp.linalg.norm(diff, axis=-1) ** 2
+
+    potentials = (cfg.base_obstacle_weight * collision
+                  + cfg.smoothness_base_weight * cfg.dist_eps * smooth)
+    potentials = jnp.where(goal_set.mask, potentials, 0.0)
+    if cfg.normalize_cost:
+        potentials = potentials / jnp.maximum(
+            jnp.linalg.norm(potentials), 1e-12)
+    # invalid goals get a huge cost so no algorithm selects them
+    return jnp.where(goal_set.mask, potentials, 1e6)
+
+
+def _etas(cfg: OMGConfig, n_valid):
+    eta = jnp.sqrt(jnp.log(n_valid + 1.0) / cfg.optim_steps)
+    return jnp.stack([eta * (2.0**x) for x in _ETA_POWERS])
+
+
+def update_goal_dist(
+    cfg: OMGConfig,
+    state: LearnerState,
+    cv: jnp.ndarray,
+    goal_set: GoalSet,
+    traj_end: jnp.ndarray,
+) -> LearnerState:
+    """One online-learning update of the goal distribution
+    (reference ``update_goal_dist`` + per-algorithm methods, ``:162-235``)."""
+    mask = goal_set.mask
+    mf = mask.astype(cv.dtype)
+    g = goal_set.capacity
+    n_valid = jnp.maximum(mf.sum(), 1.0)
+
+    alg = cfg.ol_alg
+    if alg == "Proj":
+        dists = jnp.where(
+            mask, jnp.linalg.norm(traj_end[None] - goal_set.grasps, axis=-1),
+            jnp.inf)
+        p = jax.nn.one_hot(jnp.argmin(dists), g, dtype=cv.dtype)
+        return state._replace(p=p)
+
+    if alg == "FTL":
+        sum_costs = state.sum_costs + cv
+        p = jax.nn.one_hot(
+            jnp.argmin(jnp.where(mask, sum_costs, jnp.inf)), g, dtype=cv.dtype)
+        return state._replace(p=p, sum_costs=sum_costs)
+
+    if alg == "FTC":
+        p = jax.nn.one_hot(
+            jnp.argmin(jnp.where(mask, cv, jnp.inf)), g, dtype=cv.dtype)
+        return state._replace(p=p)
+
+    if alg == "Exp":
+        sum_costs = state.sum_costs + cv * mf
+        norm_sum = sum_costs / (jnp.sum(sum_costs) + 1e-8)
+        eta = jnp.sqrt(jnp.log(n_valid + 1.0) / cfg.optim_steps)
+        p_new = jnp.exp(-eta * cv) * state.p
+        p = (p_new * 0.999 + norm_sum * 0.001) * mf
+        p = p / (jnp.sum(p) + 1e-8)
+        return state._replace(p=p, sum_costs=sum_costs)
+
+    if alg == "MD":
+        etas = _etas(cfg, n_valid)
+        delta = mf / (4.0 * n_valid + 1.0)  # reference :85
+        w = jnp.ones(g, cv.dtype)
+        experts_p = state.experts_p
+        experts_costs = state.experts_costs
+        q = state.q
+        p = state.p
+        # the reference updates q and the mixture INSIDE the expert loop
+        # (online_learner.py:224-235); reproduced faithfully
+        for i in range(NUM_EXPERTS):
+            p_i = bregman_projection(experts_p[i], etas[i] * cv, delta, w, mask)
+            c_i = jnp.dot(cv * mf, p_i) + jnp.dot(
+                w * mf, jnp.abs(p_i - experts_p[i]))
+            experts_costs = experts_costs.at[i].set(c_i)
+            experts_p = experts_p.at[i].set(p_i)
+            q = q * jnp.exp(-experts_costs)
+            q = q / jnp.maximum(jnp.sum(q), 1e-12)
+            p = jnp.einsum("e,eg->g", q, experts_p)
+            p = p / jnp.maximum(jnp.sum(p), 1e-12)
+        return state._replace(
+            p=p * mf, experts_p=experts_p, experts_costs=experts_costs, q=q)
+
+    raise ValueError(f"unknown ol_alg {alg}")
+
+
+def update_goal(
+    model: panda.PandaModel,
+    scene: SceneSDF,
+    params: CostParams,
+    cfg: OMGConfig,
+    hp: HorizonParams,
+    traj: jnp.ndarray,
+    goal_set: GoalSet,
+    state: LearnerState,
+):
+    """Advance the learner one step and pick argmax goal
+    (reference ``update_goal``, ``:237-249``).
+
+    Returns (new_state, goal_idx).
+    """
+    t = state.t + 1.0
+    state = state._replace(t=t)
+    if cfg.ol_alg == "Proj":
+        state = update_goal_dist(cfg, state, jnp.zeros(goal_set.capacity),
+                                 goal_set, traj[-1])
+    else:
+        cv = cost_vector(model, scene, params, cfg, hp, traj, goal_set, t)
+        state = update_goal_dist(cfg, state, cv, goal_set, traj[-1])
+    goal_idx = jnp.argmax(jnp.where(goal_set.mask, state.p, -jnp.inf))
+    state = state._replace(ti=state.ti.at[goal_idx].add(1.0))
+    return state, goal_idx

@@ -1,0 +1,282 @@
+"""Signed-distance-field containers, scene stacking, and the collision query.
+
+Host side: :class:`SignedDensityField` mirrors the reference container
+(``omg/sdf_tools.py:17-198``) minus the torch/CUDA residency — volumes are
+numpy until :func:`combine_sdfs` stacks them into one padded device array
+(the reference's ``Env.combine_sdfs``, ``omg/core.py:366-411``).
+
+Device side: :func:`sdf_potentials` is the exact TPU re-implementation of the
+CUDA kernel ``layers/sdf_matching_loss_kernel.cu:96-262``: per (point,
+object) — rigid transform into the object frame, trilinear interpolation of
+the SDF (out-of-volume => 1.0, C-style truncation indexing), central
+difference of the *interpolated* field for the gradient, the CHOMP hinge
+potential, a clearance collision flag, per-object disable masks, and a sum
+over objects.  There is no autodiff through the gather: gradients are the
+same closed-form ones the reference uses (``layers/sdf_matching_loss.py:37-39``
+declares no backward).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SignedDensityField:
+    """A voxelized SDF: ``data[x, y, z]`` with uniform cell size ``delta``."""
+
+    def __init__(self, data: np.ndarray, origin: np.ndarray, delta: float):
+        self.data = np.asarray(data, np.float32)
+        self.nx, self.ny, self.nz = self.data.shape
+        self.origin = np.asarray(origin, np.float64).copy()
+        self.delta = float(delta)
+
+    @property
+    def min_coords(self) -> np.ndarray:
+        return self.origin
+
+    @property
+    def max_coords(self) -> np.ndarray:
+        return self.origin + self.delta * np.array(self.data.shape)
+
+    def resize(self, ratio: float) -> "SignedDensityField":
+        """Uniform metric rescale (reference ``sdf_tools.py:37-45``)."""
+        self.data = self.data * ratio
+        self.delta *= ratio
+        self.origin = self.origin * ratio
+        return self
+
+    def penalize_inside(self, constant: float) -> "SignedDensityField":
+        """Scale negative (inside) distances (reference ``core.py:110``)."""
+        self.data = np.where(self.data < 0, self.data * constant, self.data)
+        return self
+
+    # ---- host-side nearest-cell lookups (debug / test parity,
+    # reference sdf_tools.py:47-111)
+    def _idx(self, rel_pos):
+        idx = ((rel_pos - self.origin) / self.delta).astype(int)
+        return np.clip(idx, 0, np.array(self.data.shape) - 1)
+
+    def get_distance(self, rel_pos):
+        i = self._idx(rel_pos)
+        return self.data[i[..., 0], i[..., 1], i[..., 2]]
+
+    # ---- loaders
+    @classmethod
+    def from_pth(cls, path: str) -> "SignedDensityField":
+        """Load the reference's ``*_chomp.pth`` layout (torch dict with
+        ``sdf_torch [1,1,X,Y,Z]``, ``min_coords``, ``max_coords``, ``delta``;
+        written by ``real_world/convert_sdf.py:66-78``)."""
+        import torch  # local import: torch is host-only in this framework
+
+        d = torch.load(path, map_location="cpu")
+        data = d["sdf_torch"].squeeze().numpy()
+        origin = np.asarray(d["min_coords"], np.float64)
+        delta = float(np.asarray(d["delta"]).reshape(-1)[0])
+        return cls(data, origin, delta)
+
+    @classmethod
+    def from_sdf_file(cls, path: str) -> "SignedDensityField":
+        """Parse SDFGen's text format (``sdf_tools.py:168-183``)."""
+        with open(path) as f:
+            dims = [int(v) for v in f.readline().split()]
+            origin = np.array([float(v) for v in f.readline().split()])
+            delta = float(f.readline().strip())
+            data = np.loadtxt(f).reshape(dims[::-1]).transpose(2, 1, 0)
+        return cls(data, origin, delta)
+
+    @classmethod
+    def from_pkl(cls, path: str) -> "SignedDensityField":
+        import pickle
+
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        return cls(d["data"], d["origin"], d["delta"])
+
+    def dump(self, path: str):
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(
+                {"data": self.data, "origin": self.origin, "delta": self.delta}, f)
+
+    # ---- analytic constructors (synthetic assets for tests/benchmarks)
+    @classmethod
+    def from_analytic(cls, kind: str, extents, delta: float = 0.0075,
+                      padding: int = 12) -> "SignedDensityField":
+        """Exact SDF of a primitive centered at the origin.
+
+        kind: 'box' (extents = full xyz size), 'sphere' (extents = [r]),
+        'cylinder' (extents = [radius, height]).
+        """
+        extents = np.asarray(extents, np.float64)
+        if kind == "box":
+            half = extents / 2.0
+        elif kind == "sphere":
+            half = np.array([extents[0]] * 3)
+        elif kind == "cylinder":
+            half = np.array([extents[0], extents[0], extents[1] / 2.0])
+        else:
+            raise ValueError(kind)
+        dims = (np.ceil(2 * half / delta) + 2 * padding).astype(int)
+        origin = -(dims * delta) / 2.0
+        ax = [origin[i] + (np.arange(dims[i]) + 0.5) * delta for i in range(3)]
+        x, y, z = np.meshgrid(*ax, indexing="ij")
+        if kind == "box":
+            qx, qy, qz = (np.abs(x) - half[0], np.abs(y) - half[1],
+                          np.abs(z) - half[2])
+            outside = np.sqrt(np.maximum(qx, 0) ** 2 + np.maximum(qy, 0) ** 2
+                              + np.maximum(qz, 0) ** 2)
+            inside = np.minimum(np.maximum(qx, np.maximum(qy, qz)), 0.0)
+            data = outside + inside
+        elif kind == "sphere":
+            data = np.sqrt(x * x + y * y + z * z) - extents[0]
+        else:  # cylinder
+            dr = np.sqrt(x * x + y * y) - extents[0]
+            dz = np.abs(z) - extents[1] / 2.0
+            outside = np.sqrt(np.maximum(dr, 0) ** 2 + np.maximum(dz, 0) ** 2)
+            inside = np.minimum(np.maximum(dr, dz), 0.0)
+            data = outside + inside
+        return cls(data.astype(np.float32), origin, delta)
+
+
+class SceneSDF(NamedTuple):
+    """Padded per-object SDF stack, device resident.
+
+    ``limits[o] = [xmin, ymin, zmin, xmax_pad, ymax_pad, zmax_pad,
+    d0, d1, d2, delta]`` exactly as ``Env.combine_sdfs`` builds them
+    (``omg/core.py:366-411``): padded cells are filled with +1 and the max
+    coordinate is stretched so cell size is preserved.
+    """
+
+    data: jnp.ndarray    # [O, X, Y, Z]
+    limits: jnp.ndarray  # [O, 10]
+
+    @property
+    def num_objects(self) -> int:
+        return self.data.shape[0]
+
+
+def combine_sdfs(fields: Sequence[SignedDensityField],
+                 pad_to: tuple | None = None) -> SceneSDF:
+    shapes = np.array([f.data.shape for f in fields])
+    max_shape = shapes.max(axis=0) if pad_to is None else np.asarray(pad_to)
+    num = len(fields)
+    data = np.ones((num, *max_shape), np.float32)
+    limits = np.zeros((num, 10), np.float32)
+    for i, f in enumerate(fields):
+        sx, sy, sz = f.data.shape
+        data[i, :sx, :sy, :sz] = f.data
+        mn, mx = f.min_coords, f.max_coords
+        limits[i, 0:3] = mn
+        limits[i, 3] = mn[0] + (mx[0] - mn[0]) * max_shape[0] / sx
+        limits[i, 4] = mn[1] + (mx[1] - mn[1]) * max_shape[1] / sy
+        limits[i, 5] = mn[2] + (mx[2] - mn[2]) * max_shape[2] / sz
+        limits[i, 6:9] = max_shape
+        limits[i, 9] = f.delta
+    return SceneSDF(jnp.asarray(data), jnp.asarray(limits))
+
+
+def _trilinear(flat: jnp.ndarray, dims: jnp.ndarray, pg: jnp.ndarray):
+    """Trilinear lookup at grid coords ``pg [..., 3]``; OOB -> 1.0.
+
+    Matches ``getValueInterpolated`` (kernel.cu:37-64) including the C-style
+    truncation of ``pg - 0.5``.
+    """
+    d0, d1, d2 = dims[0], dims[1], dims[2]
+    p = pg - 0.5
+    c0 = jnp.trunc(p).astype(jnp.int32)
+    f = p - c0
+    x0, y0, z0 = c0[..., 0], c0[..., 1], c0[..., 2]
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    inb = ((x0 >= 0) & (x0 + 1 < d0) & (y0 >= 0) & (y0 + 1 < d1)
+           & (z0 >= 0) & (z0 + 1 < d2))
+    x0c = jnp.clip(x0, 0, d0 - 2)
+    y0c = jnp.clip(y0, 0, d1 - 2)
+    z0c = jnp.clip(z0, 0, d2 - 2)
+    base = (x0c * d1 + y0c) * d2 + z0c
+
+    def val(dx, dy, dz):
+        return jnp.take(flat, base + (dx * d1 + dy) * d2 + dz, axis=0)
+
+    dx00 = val(0, 0, 0) * (1 - fx) + val(1, 0, 0) * fx
+    dx01 = val(0, 0, 1) * (1 - fx) + val(1, 0, 1) * fx
+    dx10 = val(0, 1, 0) * (1 - fx) + val(1, 1, 0) * fx
+    dx11 = val(0, 1, 1) * (1 - fx) + val(1, 1, 1) * fx
+    dxy0 = dx00 * (1 - fy) + dx10 * fy
+    dxy1 = dx01 * (1 - fy) + dx11 * fy
+    out = dxy0 * (1 - fz) + dxy1 * fz
+    return jnp.where(inb, out, 1.0)
+
+
+def _query_one_object(flat, limits, pts_obj):
+    """Potential/grad/collide for all points against one object volume."""
+    dims = limits[6:9].astype(jnp.int32)
+    mn = limits[0:3]
+    mx = limits[3:6]
+    delta = limits[9]
+    pg = (pts_obj - mn) / (mx - mn) * dims.astype(pts_obj.dtype)  # [P, 3]
+
+    value = _trilinear(flat, dims, pg)
+    eye = jnp.eye(3, dtype=pg.dtype)
+    # central differences of the interpolated field, one grid cell apart
+    # (kernel.cu:66-86)
+    grads = []
+    for a in range(3):
+        fp = _trilinear(flat, dims, pg + eye[a])
+        fm = _trilinear(flat, dims, pg - eye[a])
+        grads.append(0.5 * (fp - fm) / delta)
+    grad = jnp.stack(grads, axis=-1)  # [P, 3] (object frame)
+    return value, grad
+
+
+def sdf_potentials(
+    scene: SceneSDF,
+    inv_poses: jnp.ndarray,      # [O, 4, 4] world -> object
+    points: jnp.ndarray,         # [P, 3] world
+    epsilons: jnp.ndarray,       # [O]
+    padding_scales: jnp.ndarray,  # [O]
+    clearances: jnp.ndarray,     # [O]
+    disables: jnp.ndarray,       # [O] (>0 disables)
+):
+    """Returns (potentials [P], grads [P,3] world frame, collides [P]).
+
+    Semantics of ``SDFdistanceForward`` + ``sum_gradients``
+    (kernel.cu:96-195): hinge potential
+
+        d <= 0:        -d + eps/2,      grad = -g
+        0 < d <= eps:  (d-eps)^2/(2 eps) * pad, grad = g (d-eps)/eps * pad
+        d > eps:       0
+
+    with the object-frame gradient rotated back by R^T and results summed
+    over objects.
+    """
+    o = scene.num_objects
+    flat = scene.data.reshape(o, -1)
+    # world -> object points: [O, P, 3]
+    r = inv_poses[:, :3, :3]
+    t = inv_poses[:, :3, 3]
+    pts_obj = jnp.einsum("oab,pb->opa", r, points) + t[:, None, :]
+
+    value, grad_obj = jax.vmap(_query_one_object)(flat, scene.limits, pts_obj)
+    # hinge
+    eps = epsilons[:, None]
+    pad = padding_scales[:, None]
+    inside = value <= 0
+    band = (value > 0) & (value <= eps)
+    pot = jnp.where(inside, -value + 0.5 * eps, 0.0)
+    pot = jnp.where(band, (value - eps) ** 2 / (2 * eps) * pad, pot)
+    gscale = jnp.where(inside, -1.0, jnp.where(band, (value - eps) / eps * pad, 0.0))
+    grad_obj = grad_obj * gscale[..., None]
+    collide = (value < clearances[:, None]).astype(pot.dtype)
+    # rotate gradient back to world: R^T @ g
+    grad_w = jnp.einsum("oba,opb->opa", r, grad_obj)
+    # disables
+    keep = (disables <= 0).astype(pot.dtype)[:, None]
+    pot = pot * keep
+    grad_w = grad_w * keep[..., None]
+    collide = collide * keep
+    return pot.sum(0), grad_w.sum(0), collide.sum(0)

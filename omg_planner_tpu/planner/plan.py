@@ -1,0 +1,239 @@
+"""The OMG plan loop as a single jit-compiled device program.
+
+Reference flow (``omg/planner.py:600-653``): per iteration — online-learner
+goal update (first ``optim_steps`` only), one CHOMP optimize with goal-set
+projection, joint-limit smoothing, early termination.  The reference runs
+this as host-orchestrated numpy with two GPU round-trips per iteration; here
+the whole loop is one ``lax.scan`` (with per-step history, for parity with
+``history_trajectories``/``info``) or one ``lax.while_loop``
+(:func:`plan_fast`, no history — the benchmark path).
+
+Termination parity: the reference breaks when ``terminate`` and ``t > 0``,
+then *deletes the last history entry*, i.e. the terminating step's update is
+rolled back (``omg/planner.py:627-636``).  We equivalently freeze the
+trajectory on the step where termination fires.  The reference's 3 s
+wall-clock timeout (``:629``) has no in-graph counterpart — plans here
+complete in milliseconds; the host wrapper can still enforce it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OMGConfig, schedule_weights
+from ..models import panda
+from ..ops import chomp
+from ..ops.chomp import CostParams, CostInfo, GoalSet
+from ..ops import learner as ol
+from ..ops.sdf import SceneSDF
+from ..utils.spline import cubic_interpolate, linear_interpolate
+
+
+class PlanProblem(NamedTuple):
+    """Everything a single plan needs, as static-shape device arrays."""
+
+    start: jnp.ndarray        # [9]
+    end: jnp.ndarray          # [9] fixed goal (used when goal_set empty/off)
+    traj_init: jnp.ndarray    # [T, 9]
+    goal_set: GoalSet
+    scene: SceneSDF
+    cost_params: CostParams
+    joint_lower: jnp.ndarray  # [9] soft limits
+    joint_upper: jnp.ndarray  # [9]
+
+
+class PlanResult(NamedTuple):
+    traj: jnp.ndarray          # [T, 9] final trajectory
+    goal_idx: jnp.ndarray
+    info: CostInfo             # final-step info
+    info_history: CostInfo     # stacked [S]
+    history: jnp.ndarray       # [S, T, 9] trajectory after each step
+    selected_goals: jnp.ndarray  # [S]
+    steps_used: jnp.ndarray
+    flag: jnp.ndarray          # True => SUCCESS ("BE GENTLE")
+
+
+class _Carry(NamedTuple):
+    traj: jnp.ndarray
+    goal_idx: jnp.ndarray
+    learner: ol.LearnerState
+    step: jnp.ndarray
+    done: jnp.ndarray
+    last_info: CostInfo
+
+
+def _chosen_goal(cfg: OMGConfig, goal_set: GoalSet, goal_idx):
+    """(termination goal [9], projection tail [k, 9])."""
+    grasp = goal_set.grasps[goal_idx]
+    if cfg.use_standoff:
+        tail = goal_set.reach_grasps[goal_idx]
+    else:
+        tail = grasp[None]
+    return grasp, tail
+
+
+def _optimize_once(model, cfg, hp, problem: PlanProblem, traj, goal_idx, step):
+    """One CHOMP step (reference ``Optimizer.optimize``,
+    ``omg/optimizer.py:115-135``) with the pure cost schedule."""
+    obstacle_w, smooth_w, _, step_size = schedule_weights(cfg, step + 1)
+    if cfg.goal_set_proj:
+        goal, tail = _chosen_goal(cfg, problem.goal_set, goal_idx)
+    else:
+        goal, tail = problem.end, problem.end[None]
+    cost, grad, info = chomp.compute_total_loss(
+        model, problem.scene, problem.cost_params, cfg, hp, traj,
+        problem.start, goal if cfg.goal_set_proj else problem.end,
+        goal, obstacle_w, smooth_w)
+    over_limit = chomp.check_joint_limit(
+        traj, problem.joint_lower, problem.joint_upper)
+    info = info._replace(
+        violate_limit=over_limit,
+        terminate=info.terminate & (~over_limit))
+
+    if cfg.goal_set_proj:
+        update = chomp.goal_set_projection_update(
+            hp, cfg, traj, grad, tail, step_size)
+    else:
+        update = chomp.unconstrained_update(hp, grad, step_size)
+    new_traj = chomp.apply_update(cfg, traj, update)
+    new_traj = chomp.handle_joint_limit(
+        hp, cfg, new_traj, problem.joint_lower, problem.joint_upper)
+    return new_traj, info
+
+
+def _learner_enabled(cfg: OMGConfig) -> bool:
+    return cfg.goal_set_proj and cfg.ol_alg not in ("Baseline", "Proj")
+
+
+def plan(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
+         ) -> PlanResult:
+    """Full OMG plan with history (jit with cfg static)."""
+    hp = cfg.horizon()
+    total = cfg.total_steps
+
+    # --- learner init: pick the min-cost goal and respline
+    # (reference Learner.__init__, online_learner.py:94-102)
+    goal_idx0 = jnp.asarray(0, jnp.int32)
+    traj0 = problem.traj_init
+    learner0 = ol.init_learner_state(problem.goal_set)
+    if _learner_enabled(cfg):
+        cv0 = ol.cost_vector(model, problem.scene, problem.cost_params, cfg,
+                             hp, traj0, problem.goal_set, jnp.asarray(0.0))
+        goal_idx0 = jnp.argmin(cv0).astype(jnp.int32)
+        traj0 = cubic_interpolate(
+            problem.start, problem.goal_set.grasps[goal_idx0], cfg.timesteps)
+
+    def scan_step(carry: _Carry, _):
+        traj, goal_idx, lstate = carry.traj, carry.goal_idx, carry.learner
+
+        if _learner_enabled(cfg):
+            do_learn = (carry.step < cfg.optim_steps) & (~carry.done)
+            new_lstate, new_goal = ol.update_goal(
+                model, problem.scene, problem.cost_params, cfg, hp, traj,
+                problem.goal_set, lstate)
+            lstate = jax.tree.map(
+                lambda a, b: jnp.where(do_learn, b, a), lstate, new_lstate)
+            goal_idx = jnp.where(do_learn, new_goal.astype(jnp.int32),
+                                 goal_idx)
+
+        new_traj, info = _optimize_once(
+            model, cfg, hp, problem, traj, goal_idx, carry.step)
+
+        fired = info.terminate & (carry.step > 0)
+        # freeze on done; roll back the terminating step's update
+        traj_out = jnp.where(carry.done | fired, traj, new_traj)
+        info_out = jax.tree.map(
+            lambda a, b: jnp.where(carry.done, a, b), carry.last_info, info)
+        new_carry = _Carry(
+            traj=traj_out,
+            goal_idx=goal_idx,
+            learner=lstate,
+            step=jnp.where(carry.done, carry.step, carry.step + 1),
+            done=carry.done | fired,
+            last_info=info_out,
+        )
+        return new_carry, (traj_out, info_out, goal_idx)
+
+    info0 = _dummy_info(cfg)
+    carry0 = _Carry(traj0, goal_idx0, learner0, jnp.asarray(0),
+                    jnp.asarray(False), info0)
+    carry, (history, info_hist, selected) = jax.lax.scan(
+        scan_step, carry0, None, length=total)
+
+    flag = carry.last_info.terminate
+    return PlanResult(
+        traj=carry.traj, goal_idx=carry.goal_idx, info=carry.last_info,
+        info_history=info_hist, history=history, selected_goals=selected,
+        steps_used=carry.step, flag=flag)
+
+
+def plan_fast(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
+              ) -> PlanResult:
+    """History-free plan via ``lax.while_loop`` — early termination actually
+    skips work (the benchmark path)."""
+    hp = cfg.horizon()
+    total = cfg.total_steps
+
+    goal_idx0 = jnp.asarray(0, jnp.int32)
+    traj0 = problem.traj_init
+    learner0 = ol.init_learner_state(problem.goal_set)
+    if _learner_enabled(cfg):
+        cv0 = ol.cost_vector(model, problem.scene, problem.cost_params, cfg,
+                             hp, traj0, problem.goal_set, jnp.asarray(0.0))
+        goal_idx0 = jnp.argmin(cv0).astype(jnp.int32)
+        traj0 = cubic_interpolate(
+            problem.start, problem.goal_set.grasps[goal_idx0], cfg.timesteps)
+
+    def cond(carry: _Carry):
+        return (~carry.done) & (carry.step < total)
+
+    def body(carry: _Carry):
+        traj, goal_idx, lstate = carry.traj, carry.goal_idx, carry.learner
+        if _learner_enabled(cfg):
+            do_learn = carry.step < cfg.optim_steps
+            new_lstate, new_goal = ol.update_goal(
+                model, problem.scene, problem.cost_params, cfg, hp, traj,
+                problem.goal_set, lstate)
+            lstate = jax.tree.map(
+                lambda a, b: jnp.where(do_learn, b, a), lstate, new_lstate)
+            goal_idx = jnp.where(do_learn, new_goal.astype(jnp.int32),
+                                 goal_idx)
+        new_traj, info = _optimize_once(
+            model, cfg, hp, problem, traj, goal_idx, carry.step)
+        fired = info.terminate & (carry.step > 0)
+        return _Carry(
+            traj=jnp.where(fired, traj, new_traj),
+            goal_idx=goal_idx, learner=lstate,
+            step=carry.step + 1, done=fired, last_info=info)
+
+    carry0 = _Carry(traj0, goal_idx0, learner0, jnp.asarray(0),
+                    jnp.asarray(False), _dummy_info(cfg))
+    carry = jax.lax.while_loop(cond, body, carry0)
+    t = cfg.timesteps
+    return PlanResult(
+        traj=carry.traj, goal_idx=carry.goal_idx, info=carry.last_info,
+        info_history=carry.last_info,
+        history=carry.traj[None],
+        selected_goals=carry.goal_idx[None],
+        steps_used=carry.step, flag=carry.last_info.terminate)
+
+
+def _dummy_info(cfg: OMGConfig) -> CostInfo:
+    z = jnp.asarray(0.0)
+    f = jnp.asarray(False)
+    return CostInfo(
+        cost=z, obs=z, smooth=z, weighted_obs=z, weighted_smooth=z,
+        grad_norm=z, smooth_grad_norm=z, obs_grad_norm=z, collide=z,
+        reach=z, terminate=f, failure_terminate=f, execute=f,
+        violate_limit=f, cost_traj=jnp.zeros(cfg.timesteps))
+
+
+def init_trajectory(cfg: OMGConfig, start, end) -> jnp.ndarray:
+    """Spline initialization (reference ``Trajectory.interpolate_waypoints``,
+    ``omg/core.py:59-78``)."""
+    if cfg.traj_interpolate == "linear":
+        return linear_interpolate(start, end, cfg.timesteps)
+    return cubic_interpolate(start, end, cfg.timesteps)
