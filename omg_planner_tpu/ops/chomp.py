@@ -156,8 +156,8 @@ def forward_kinematics_obstacle(
         model, panda.forward_kinematics(model, end))
     # differentiate along time: arrange [10, P, T, 3]
     xs = jnp.moveaxis(x, 0, 2)
-    v = get_derivative(hp, xs, x_start[..., None, :], x_end[..., None, :], 1)
-    a_ws = get_derivative(hp, xs, x_start[..., None, :], x_end[..., None, :], 2)
+    v = get_derivative(hp, xs, x_start, x_end, 1)
+    a_ws = get_derivative(hp, xs, x_start, x_end, 2)
     v = jnp.moveaxis(v, 2, 0)
     a_ws = jnp.moveaxis(a_ws, 2, 0)
     return x, v, a_ws, jac, pot, grad, collide.sum()

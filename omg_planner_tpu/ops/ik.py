@@ -1,0 +1,145 @@
+"""Batched damped-least-squares inverse kinematics.
+
+Replaces the reference's PyKDL ``ChainIkSolverPos_NR_JL`` Newton-Raphson
+solver called one pose at a time across a 4-process pool
+(``omg/planner.py:395-443``, ``robot_pykdl.py:257-289``) with a vmapped
+joint-limit-clamped damped Newton iteration: the whole goal set
+(grasps x seeds x standoff tail) solves as one device program.
+
+The standoff chain solver reproduces ``solve_one_pose_ik``
+(``omg/planner.py:17-86``): solve the farthest standoff first from the
+seed, then the 5 tail poses sequentially, each seeded by the previous
+solution; accept if every solve converged and the tail is smooth
+(config-space path length < 2 rad).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OMGConfig
+from ..models import panda
+from ..utils.pose import so3_log
+
+
+class IKResult(NamedTuple):
+    q: jnp.ndarray        # [..., 7]
+    success: jnp.ndarray  # [...] bool
+    pos_err: jnp.ndarray
+    rot_err: jnp.ndarray
+
+
+def _hand_fk_and_jacobian(model: panda.PandaModel, q7: jnp.ndarray):
+    """panda_hand pose and its 6x7 geometric Jacobian for arm joints."""
+    q9 = jnp.concatenate([q7, jnp.asarray([0.04, 0.04], q7.dtype)])
+    poses, origins, axes = panda.forward_kinematics(
+        model, q9, apply_offset=False, return_joint_info=True)
+    hand = poses[7]
+    p = hand[:3, 3]
+    lin = jnp.cross(axes[:7], p[None, :] - origins[:7])  # [7, 3]
+    jac = jnp.concatenate([lin, axes[:7]], axis=-1).T    # [6, 7]
+    return hand, jac
+
+
+def ik_single(
+    model: panda.PandaModel,
+    target: jnp.ndarray,     # [4, 4] desired panda_hand pose
+    seed: jnp.ndarray,       # [7]
+    cfg: OMGConfig,
+    lower7: jnp.ndarray,
+    upper7: jnp.ndarray,
+) -> IKResult:
+    """Damped Newton IK with joint-limit clamping (vmap over leading dims)."""
+    lam = cfg.ik_damping
+
+    def body(_, q):
+        hand, jac = _hand_fk_and_jacobian(model, q)
+        e_pos = target[:3, 3] - hand[:3, 3]
+        e_rot = so3_log(target[:3, :3] @ hand[:3, :3].T)
+        e = jnp.concatenate([e_pos, e_rot])
+        jjt = jac @ jac.T + lam * jnp.eye(6, dtype=q.dtype)
+        dq = jac.T @ jnp.linalg.solve(jjt, e)
+        dq = jnp.clip(dq, -0.5, 0.5)
+        return jnp.clip(q + dq, lower7, upper7)
+
+    q = jax.lax.fori_loop(0, cfg.ik_max_iters, body, seed)
+    hand, _ = _hand_fk_and_jacobian(model, q)
+    pos_err = jnp.linalg.norm(target[:3, 3] - hand[:3, 3])
+    rot_err = jnp.linalg.norm(so3_log(target[:3, :3] @ hand[:3, :3].T))
+    ok = (pos_err < cfg.ik_pos_tol * 10) & (rot_err < cfg.ik_rot_tol * 10)
+    return IKResult(q=q, success=ok, pos_err=pos_err, rot_err=rot_err)
+
+
+def solve_standoff_chain(
+    model: panda.PandaModel,
+    grasp_pose: jnp.ndarray,      # [4, 4] world grasp (hand pose)
+    standoff_poses: jnp.ndarray,  # [tail, 4, 4] world standoff tail poses
+    seed: jnp.ndarray,            # [7]
+    cfg: OMGConfig,
+    lower7: jnp.ndarray,
+    upper7: jnp.ndarray,
+    attached: bool = False,
+):
+    """One (grasp, seed) standoff chain (``omg/planner.py:41-77``).
+
+    Returns (reach_traj [tail, 9], standoff_goal [9], valid).
+    """
+    tail = standoff_poses.shape[0]
+    far = ik_single(model, standoff_poses[-1], seed, cfg, lower7, upper7)
+
+    def step(carry, pose_k):
+        q_prev, ok = carry
+        res = ik_single(model, pose_k, q_prev, cfg, lower7, upper7)
+        ok = ok & res.success
+        return (res.q, ok), res.q
+
+    (q_last, all_ok), qs = jax.lax.scan(
+        step, (far.q, far.success), standoff_poses)  # qs: [tail, 7] k=0..4
+    if not attached:
+        qs = qs[::-1]  # farthest ... grasp (planner.py:65)
+    diff = jnp.linalg.norm(jnp.diff(qs, axis=0))
+    smooth_ok = diff < 2.0
+    valid = all_ok & smooth_ok
+    fingers = jnp.full((tail, 2), 0.04, qs.dtype)
+    reach_traj = jnp.concatenate([qs, fingers], axis=-1)
+    standoff_q = qs[-1] if attached else qs[0]
+    standoff_goal = jnp.concatenate([standoff_q, jnp.asarray([0.04, 0.04], qs.dtype)])
+    return reach_traj, standoff_goal, valid
+
+
+def solve_goal_set(
+    model: panda.PandaModel,
+    cfg: OMGConfig,
+    grasp_poses_world: jnp.ndarray,  # [N, 4, 4]
+    seeds: jnp.ndarray,              # [S, 7]
+    lower7: jnp.ndarray,
+    upper7: jnp.ndarray,
+    attached: bool = False,
+):
+    """All (grasp x seed) standoff chains in one vmapped solve
+    (replaces ``multiprocessing.Pool(4)``, ``omg/planner.py:395-443``).
+
+    Returns (reach [N*S, tail, 9], standoff [N*S, 9], valid [N*S]).
+    """
+    tail = cfg.reach_tail_length
+    # standoff tail: translate back along local z (planner.py:350-354)
+    offs = jnp.zeros((tail, 4, 4)).at[:].set(jnp.eye(4))
+    if cfg.use_standoff:
+        zs = -cfg.standoff_dist * jnp.arange(tail) / tail
+        offs = offs.at[:, 2, 3].set(zs)
+    standoffs = jnp.einsum("nab,kbc->nkac", grasp_poses_world, offs)
+
+    def solve_one(grasp, tails, seed):
+        return solve_standoff_chain(
+            model, grasp, tails, seed, cfg, lower7, upper7, attached)
+
+    n, s = grasp_poses_world.shape[0], seeds.shape[0]
+    f = jax.vmap(jax.vmap(solve_one, in_axes=(None, None, 0)),
+                 in_axes=(0, 0, None))
+    reach, standoff, valid = f(grasp_poses_world, standoffs, seeds)
+    return (reach.reshape(n * s, tail, -1),
+            standoff.reshape(n * s, -1),
+            valid.reshape(n * s))

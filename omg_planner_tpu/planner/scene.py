@@ -1,0 +1,239 @@
+"""Host-side scene/session layer: Env, PlanningScene.
+
+The reference's ``Env``/``PlanningScene`` (``omg/core.py:243-779``) own
+torch-CUDA SDF stacks and a mutable global config; here the Env is a thin
+host container that *stages* static-shape device inputs (SceneSDF stack,
+CostParams, GoalSet, PlanProblem) and the PlanningScene runs the jitted plan
+program.  Scene edits (add/remove/update-pose/attach) invalidate the staged
+arrays and restage on the next plan — the device never sees python objects.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import OMGConfig
+from ..io.assets import (DEFAULT_END, DEFAULT_START, SceneObject,
+                         synthetic_tabletop_scene)
+from ..models import panda
+from ..ops.chomp import CostParams, GoalSet
+from ..ops.sdf import SceneSDF, combine_sdfs
+from ..utils import pose as pose_utils
+from . import goal_set as gs
+from . import plan as plan_mod
+
+
+class Env:
+    """Scene container (reference ``Env``, ``omg/core.py:243-411``)."""
+
+    def __init__(self, cfg: OMGConfig, model: panda.PandaModel | None = None):
+        self.cfg = cfg
+        self.model = model if model is not None else panda.load_panda(
+            collision_point_num=cfg.collision_point_num)
+        self.objects: List[SceneObject] = []
+        self.target_idx = 0
+        self._scene_sdf: SceneSDF | None = None
+
+    # -- edits ------------------------------------------------------------
+    def add_object(self, obj: SceneObject):
+        self.objects.append(obj)
+        self._scene_sdf = None
+
+    def remove_object(self, name: str):
+        idx = self.names.index(name)
+        del self.objects[idx]
+        if self.target_idx >= len(self.objects):
+            self.target_idx = 0
+        self._scene_sdf = None
+
+    def clear(self):
+        self.objects = []
+        self._scene_sdf = None
+
+    def set_target(self, name: str):
+        self.target_idx = self.names.index(name)
+        self.objects[self.target_idx].compute_grasp = True
+
+    def update_pose(self, name: str, pose_mat: np.ndarray):
+        self.objects[self.names.index(name)].update_pose(pose_mat)
+
+    @property
+    def names(self):
+        return [o.name for o in self.objects]
+
+    @property
+    def target(self) -> SceneObject:
+        return self.objects[self.target_idx]
+
+    # -- staging ----------------------------------------------------------
+    def scene_sdf(self) -> SceneSDF:
+        if self._scene_sdf is None:
+            self._scene_sdf = combine_sdfs([o.sdf for o in self.objects])
+        return self._scene_sdf
+
+    def cost_params(self) -> CostParams:
+        """Marshal per-object collision parameters
+        (reference ``Cost.compute_obstacle_cost_layer``,
+        ``omg/cost.py:299-335``)."""
+        cfg = self.cfg
+        n = len(self.objects)
+        inv_poses = np.zeros((n, 4, 4), np.float32)
+        eps = np.full(n, cfg.epsilon, np.float32)
+        pad = np.ones(n, np.float32)
+        clear = np.full(n, cfg.clearance, np.float32)
+        disab = np.zeros(n, np.float32)
+        for i, o in enumerate(self.objects):
+            inv_poses[i] = np.linalg.inv(o.pose_mat)
+            if o.name == "floor" or o.name in cfg.disable_collision_set:
+                disab[i] = 1.0
+            if i == self.target_idx:
+                clear[i] = cfg.target_clearance
+                eps[i] = cfg.target_epsilon
+        if self.target.attached:
+            # placement: soften the support surface (cost.py:325-328)
+            clear[-1] = 0.0
+            eps[-1] = 0.05
+            pad[-1] = 0.5
+        return CostParams(
+            inv_poses=jnp.asarray(inv_poses), epsilons=jnp.asarray(eps),
+            padding_scales=jnp.asarray(pad), clearances=jnp.asarray(clear),
+            disables=jnp.asarray(disab),
+            target_idx=jnp.asarray(self.target_idx))
+
+    def grasp_poses_world(self) -> np.ndarray:
+        """Target grasp DB transformed to world (``omg/planner.py:319-322``),
+        with z/y upsampling for placement/antipodal tilts."""
+        t = self.target
+        if t.attached:
+            # placement: single goal = inverse relative hand pose
+            # (planner.py:496-498)
+            poses = np.linalg.inv(t.rel_hand_pose)[None]
+        else:
+            poses = t.pose_mat[None] @ t.grasps_poses
+        return poses
+
+
+class PlanningScene:
+    """Session owning an Env + jitted planner (reference ``PlanningScene``,
+    ``omg/core.py:459-779``, minus the GL renderer)."""
+
+    def __init__(self, cfg: OMGConfig, env: Env | None = None,
+                 seed: int = 233):
+        self.cfg = cfg
+        self.env = env if env is not None else Env(cfg)
+        self.model = self.env.model
+        self.start = np.array(DEFAULT_START)
+        self.end = np.array(DEFAULT_END)
+        self.key = jax.random.PRNGKey(seed)
+        self.history_trajectories: list[np.ndarray] = []
+        self.info = None
+        self.goal_set: GoalSet | None = None
+        self._plan_jit = {}
+
+    @classmethod
+    def synthetic(cls, cfg: OMGConfig, scene_id: int = 0, **kw):
+        env = Env(cfg)
+        objects, target = synthetic_tabletop_scene(scene_id, **kw)
+        for o in objects:
+            env.add_object(o)
+        env.set_target(target)
+        return cls(cfg, env)
+
+    # -- staging ----------------------------------------------------------
+    def build_goal_set(self) -> GoalSet:
+        cfg = self.cfg
+        env = self.env
+        scene = env.scene_sdf()
+        params = env.cost_params()
+        poses = env.grasp_poses_world()
+        t = env.target
+
+        poses_j = jnp.asarray(poses, jnp.float32)
+        if t.attached and cfg.z_upsample:
+            poses_j = gs.z_upsample_poses(
+                poses_j, jnp.asarray(t.pose_mat[:3, 3], jnp.float32))
+        if cfg.y_upsample and not t.attached:
+            poses_j = gs.y_upsample_poses(poses_j)
+        valid = jnp.ones(poses_j.shape[0], bool)
+        self.key, sub = jax.random.split(self.key)
+        goal_set = gs.build_goal_set(
+            self.model, cfg, scene, params, poses_j, valid,
+            jnp.asarray(self.start, jnp.float32), sub, attached=t.attached)
+        return goal_set
+
+    def build_problem(self, goal_set: GoalSet | None = None
+                      ) -> plan_mod.PlanProblem:
+        cfg = self.cfg
+        env = self.env
+        start = jnp.asarray(self.start, jnp.float32)
+        end = jnp.asarray(self.end, jnp.float32)
+        if cfg.goal_set_proj:
+            if goal_set is None:
+                goal_set = self.build_goal_set()
+        else:
+            g = cfg.goal_set_max_num
+            goal_set = GoalSet(
+                grasps=jnp.zeros((g, 9)),
+                reach_grasps=jnp.zeros((g, cfg.reach_tail_length, 9)),
+                mask=jnp.zeros(g, bool), potentials=jnp.zeros(g))
+        self.goal_set = goal_set
+
+        # initial goal + trajectory (grasp_init, planner.py:188-223)
+        if cfg.goal_set_proj and int(goal_set.mask.sum()) > 0:
+            gi = gs.goal_idx_policy(cfg, goal_set, start)
+            end = goal_set.grasps[gi]
+        traj0 = plan_mod.init_trajectory(cfg, start, end)
+        lo, hi = self.model.soft_limits(cfg.soft_joint_limit_padding)
+        return plan_mod.PlanProblem(
+            start=start, end=end, traj_init=traj0, goal_set=goal_set,
+            scene=env.scene_sdf(), cost_params=env.cost_params(),
+            joint_lower=lo, joint_upper=hi)
+
+    # -- planning ---------------------------------------------------------
+    def _get_plan_fn(self, fast: bool):
+        k = (fast, self.cfg)
+        if k not in self._plan_jit:
+            fn = plan_mod.plan_fast if fast else plan_mod.plan
+            self._plan_jit[k] = jax.jit(
+                lambda problem: fn(self.model, self.cfg, problem))
+        return self._plan_jit[k]
+
+    def step(self, fast: bool = False) -> plan_mod.PlanResult:
+        """One full plan (reference ``PlanningScene.step``,
+        ``omg/core.py:694-699``)."""
+        problem = self.build_problem()
+        if self.cfg.goal_set_proj and int(problem.goal_set.mask.sum()) == 0:
+            if not self.cfg.silent:
+                print("planning not run... (empty goal set)")
+            return None
+        t0 = time.time()
+        result = self._get_plan_fn(fast)(problem)
+        result = jax.tree.map(lambda x: np.asarray(x), result)
+        if not self.cfg.silent:
+            verdict = ("SUCCESS BE GENTLE" if bool(result.flag)
+                       else "FAIL DONT EXECUTE")
+            print(f"planning time: {time.time()-t0:.3f} PLAN {verdict} "
+                  f"Length: {len(result.traj)}")
+        self.history_trajectories = list(result.history)
+        self.info = result
+        return result
+
+    # -- attachment API for pick-and-place (trial.py:68-185) --------------
+    def attach_target(self, hand_q: np.ndarray):
+        """Attach the target to the hand at configuration ``hand_q``."""
+        hand = np.array(panda.hand_pose(
+            self.model, jnp.asarray(hand_q, jnp.float32)))
+        t = self.env.target
+        t.rel_hand_pose = np.linalg.inv(hand) @ t.pose_mat
+        t.attached = True
+        self.env._scene_sdf = None
+
+    def detach_target(self):
+        self.env.target.attached = False
+        self.env.target.rel_hand_pose = None
+        self.env._scene_sdf = None

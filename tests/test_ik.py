@@ -1,0 +1,74 @@
+"""IK round-trip and standoff-chain tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from omg_planner_tpu.config import OMGConfig
+from omg_planner_tpu.models import panda
+from omg_planner_tpu.ops import ik
+
+
+def test_ik_roundtrip():
+    model = panda.load_panda()
+    cfg = OMGConfig()
+    lo, hi = model.soft_limits(cfg.soft_joint_limit_padding)
+    rng = np.random.default_rng(11)
+    n_ok = 0
+    for _ in range(8):
+        q7 = rng.uniform(np.array(lo[:7]) + 0.1, np.array(hi[:7]) - 0.1)
+        q9 = jnp.asarray(np.concatenate([q7, [0.04, 0.04]]), jnp.float32)
+        target = panda.hand_pose(model, q9)
+        seed = jnp.asarray(q7 + rng.normal(scale=0.2, size=7), jnp.float32)
+        res = ik.ik_single(model, target, seed, cfg, lo[:7], hi[:7])
+        if bool(res.success):
+            n_ok += 1
+            hand = panda.hand_pose(
+                model,
+                jnp.concatenate([res.q, jnp.asarray([0.04, 0.04])]))
+            np.testing.assert_allclose(
+                np.array(hand)[:3, 3], np.array(target)[:3, 3], atol=5e-3)
+    assert n_ok >= 6  # most perturbed seeds should converge
+
+
+def test_standoff_chain_valid_and_smooth():
+    model = panda.load_panda()
+    cfg = OMGConfig()
+    lo, hi = model.soft_limits(cfg.soft_joint_limit_padding)
+    # a reachable hand pose in front of the robot
+    q9 = jnp.asarray([0.0, -0.8, 0.0, -2.0, 0.0, 1.6, 0.785, 0.04, 0.04],
+                     jnp.float32)
+    grasp = panda.hand_pose(model, q9)
+    tail = cfg.reach_tail_length
+    offs = np.tile(np.eye(4), (tail, 1, 1))
+    offs[:, 2, 3] = -cfg.standoff_dist * np.arange(tail) / tail
+    standoffs = jnp.asarray(np.array(grasp) @ offs, jnp.float32)
+    seed = q9[:7]
+    reach, standoff, valid = ik.solve_standoff_chain(
+        model, grasp, standoffs, seed, cfg, lo[:7], hi[:7])
+    assert bool(valid)
+    assert reach.shape == (tail, 9)
+    # last tail waypoint is at the grasp, first is the farthest standoff
+    hand_last = panda.hand_pose(model, reach[-1])
+    np.testing.assert_allclose(np.array(hand_last)[:3, 3],
+                               np.array(grasp)[:3, 3], atol=5e-3)
+    hand_first = panda.hand_pose(model, reach[0])
+    d = np.linalg.norm(np.array(hand_first)[:3, 3] - np.array(grasp)[:3, 3])
+    assert 0.04 < d < 0.09  # approx standoff_dist * (tail-1)/tail = 0.064
+
+
+def test_solve_goal_set_batch():
+    model = panda.load_panda()
+    cfg = OMGConfig()
+    lo, hi = model.soft_limits(cfg.soft_joint_limit_padding)
+    qs = jnp.asarray([
+        [0.0, -0.8, 0.0, -2.0, 0.0, 1.6, 0.785, 0.04, 0.04],
+        [0.3, -1.0, 0.2, -2.2, 0.1, 1.5, 0.5, 0.04, 0.04],
+    ], jnp.float32)
+    grasps = jax.vmap(lambda q: panda.hand_pose(model, q))(qs)
+    seeds = jnp.stack([qs[0, :7], qs[1, :7]])
+    reach, standoff, valid = ik.solve_goal_set(
+        model, cfg, grasps, seeds, lo[:7], hi[:7])
+    assert reach.shape == (4, cfg.reach_tail_length, 9)
+    assert standoff.shape == (4, 9)
+    assert np.array(valid).sum() >= 2
