@@ -1,0 +1,60 @@
+"""Point-cloud SDF construction on device.
+
+Replaces the reference's perception mode SDF build — a host-side
+``scipy.spatial.cKDTree.query`` over every workspace voxel
+(``omg/core.py:426-457``) — with a brute-force nearest-point distance grid
+computed as one batched matmul-shaped program:
+
+    ||g - p||^2 = ||g||^2 + ||p||^2 - 2 g.p
+
+which XLA maps straight onto the MXU.  For the reference's default sizes
+(0.02 m resolution, 0.24 m margin, ~4k points) this is a few GFLOPs — well
+under a millisecond of TPU compute vs seconds of host KD-tree queries.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sdf import SignedDensityField
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _min_dist_grid(points: jnp.ndarray, dims: tuple, origin: tuple,
+                   delta: float) -> jnp.ndarray:
+    """[N, 3] points -> [dims] grid of nearest-point distances."""
+    ax = [jnp.asarray(origin[i]) + jnp.arange(dims[i]) * delta
+          for i in range(3)]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    grid = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # [G, 3]
+    g2 = jnp.sum(grid**2, axis=1, keepdims=True)            # [G, 1]
+    p2 = jnp.sum(points**2, axis=1)[None, :]                # [1, N]
+    d2 = g2 + p2 - 2.0 * (grid @ points.T)
+    return jnp.sqrt(jnp.maximum(d2.min(axis=1), 0.0)).reshape(dims)
+
+
+def sdf_from_points(
+    points: np.ndarray,
+    resolution: float = 0.02,
+    margin: float = 0.24,
+) -> SignedDensityField:
+    """Build an (unsigned) distance field around a point cloud.
+
+    Grid layout matches the reference (``core.py:435-452``): workspace
+    bounds from the points, ``margin`` padding on every side, cell centers
+    at ``origin + i * resolution``.
+    """
+    points = np.asarray(points, np.float32)
+    if points.shape[0] == 0:
+        points = np.full((2, 3), 3.0, np.float32)  # core.py:433-434
+    lo = points.min(0) - margin
+    hi = points.max(0) + margin
+    dims = tuple(int(np.ceil((hi[i] - lo[i]) / resolution)) for i in range(3))
+    data = _min_dist_grid(
+        jnp.asarray(points), dims, tuple(float(v) for v in lo), resolution)
+    return SignedDensityField(np.asarray(data), lo.astype(np.float64),
+                              resolution)

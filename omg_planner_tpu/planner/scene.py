@@ -118,6 +118,24 @@ class Env:
         return poses
 
 
+class PointEnv(Env):
+    """Perception-mode environment: one SDF built from an observed point
+    cloud (reference ``PointEnv``, ``omg/core.py:413-457``)."""
+
+    def compute_sdf_from_points(self, points: np.ndarray,
+                                resolution: float = 0.02,
+                                margin: float = 0.24):
+        from ..io.assets import SceneObject
+        from ..ops.pointsdf import sdf_from_points
+
+        sdf = sdf_from_points(points, resolution=resolution, margin=margin)
+        obj = SceneObject("env_points", sdf, np.eye(4), target=True,
+                          compute_grasp=False)
+        self.objects = [obj]
+        self.target_idx = 0
+        self._scene_sdf = None
+
+
 class PlanningScene:
     """Session owning an Env + jitted planner (reference ``PlanningScene``,
     ``omg/core.py:459-779``, minus the GL renderer)."""
@@ -133,6 +151,10 @@ class PlanningScene:
         self.history_trajectories: list[np.ndarray] = []
         self.info = None
         self.goal_set: GoalSet | None = None
+        # external grasp poses (world panda_hand frames) override the grasp
+        # DB, e.g. detector outputs in perception mode
+        # (reference ``load_goal_from_external``, ``omg/planner.py:176-186``)
+        self.external_grasps: np.ndarray | None = None
         self._plan_jit = {}
 
     @classmethod
@@ -150,8 +172,11 @@ class PlanningScene:
         env = self.env
         scene = env.scene_sdf()
         params = env.cost_params()
-        poses = env.grasp_poses_world()
         t = env.target
+        if self.external_grasps is not None:
+            poses = np.asarray(self.external_grasps)
+        else:
+            poses = env.grasp_poses_world()
 
         poses_j = jnp.asarray(poses, jnp.float32)
         if t.attached and cfg.z_upsample:
@@ -199,8 +224,9 @@ class PlanningScene:
         k = (fast, self.cfg)
         if k not in self._plan_jit:
             fn = plan_mod.plan_fast if fast else plan_mod.plan
+            cfg = self.cfg
             self._plan_jit[k] = jax.jit(
-                lambda problem: fn(self.model, self.cfg, problem))
+                lambda model, problem: fn(model, cfg, problem))
         return self._plan_jit[k]
 
     def step(self, fast: bool = False) -> plan_mod.PlanResult:
@@ -212,7 +238,7 @@ class PlanningScene:
                 print("planning not run... (empty goal set)")
             return None
         t0 = time.time()
-        result = self._get_plan_fn(fast)(problem)
+        result = self._get_plan_fn(fast)(self.model, problem)
         result = jax.tree.map(lambda x: np.asarray(x), result)
         if not self.cfg.silent:
             verdict = ("SUCCESS BE GENTLE" if bool(result.flag)

@@ -1,0 +1,114 @@
+"""Host-side debug visualization (matplotlib, no GL).
+
+The reference ships a ~4.8k-line EGL/CUDA offscreen renderer
+(``ycb_render/``) whose planner-facing role is debug frames and videos
+(``PlanningScene.fast_debug_vis``, ``omg/core.py:487-678``).  Rendering is
+host-side and outside the TPU speed-of-light path, so this module provides
+capability parity — trajectory playback, collision-point/gradient overlays,
+goal-set ghosts, video export — with matplotlib 3-D, not a GL pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _require_mpl():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def render_frame(
+    model,
+    objects,
+    q: np.ndarray,
+    collision_pts: np.ndarray | None = None,
+    potentials: np.ndarray | None = None,
+    grads: np.ndarray | None = None,
+    goal_configs: np.ndarray | None = None,
+    size=(640, 480),
+    elev: float = 25.0,
+    azim: float = -150.0,
+) -> np.ndarray:
+    """Render one configuration; returns an RGB uint8 image.
+
+    Modes mirror ``fast_debug_vis``: plain robot+scene; collision points
+    colored by potential with gradient quivers; goal-set ghost skeletons.
+    """
+    import jax.numpy as jnp
+    from ..models import panda
+
+    plt = _require_mpl()
+    fig = plt.figure(figsize=(size[0] / 100, size[1] / 100), dpi=100)
+    ax = fig.add_subplot(111, projection="3d")
+
+    def skeleton(qq, color, alpha=1.0, lw=2.0):
+        poses = np.array(panda.forward_kinematics(
+            model, jnp.asarray(qq, jnp.float32), apply_offset=False))
+        pts = np.concatenate([np.zeros((1, 3)), poses[:8, :3, 3]])
+        ax.plot(pts[:, 0], pts[:, 1], pts[:, 2], "-o", color=color,
+                alpha=alpha, lw=lw, ms=3)
+        for f in (8, 9):
+            seg = np.stack([poses[7, :3, 3], poses[f, :3, 3]])
+            ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], "-", color=color,
+                    alpha=alpha, lw=lw)
+
+    if goal_configs is not None:
+        for gq in goal_configs:
+            skeleton(gq, "tab:green", alpha=0.25, lw=1.0)
+    skeleton(q, "tab:blue")
+
+    for o in objects:
+        pts = o.points if o.points is not None else \
+            np.random.default_rng(0).normal(scale=0.03, size=(100, 3))
+        w = pts @ o.pose_mat[:3, :3].T + o.pose_mat[:3, 3]
+        color = "tab:red" if getattr(o, "target", False) else "0.5"
+        ax.scatter(w[:, 0], w[:, 1], w[:, 2], s=2, c=color, alpha=0.5)
+
+    if collision_pts is not None:
+        cp = collision_pts.reshape(-1, 3)
+        if potentials is not None:
+            c = potentials.reshape(-1)
+            ax.scatter(cp[:, 0], cp[:, 1], cp[:, 2], s=6, c=c, cmap="plasma")
+        else:
+            ax.scatter(cp[:, 0], cp[:, 1], cp[:, 2], s=6, c="tab:orange")
+        if grads is not None:
+            g = grads.reshape(-1, 3)
+            ax.quiver(cp[:, 0], cp[:, 1], cp[:, 2],
+                      -g[:, 0], -g[:, 1], -g[:, 2],
+                      length=0.05, normalize=True, color="c", alpha=0.6)
+
+    ax.set_xlim(-0.2, 1.0)
+    ax.set_ylim(-0.6, 0.6)
+    ax.set_zlim(0.0, 1.2)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_axis_off()
+    fig.tight_layout(pad=0)
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
+
+
+def render_trajectory(model, objects, traj: np.ndarray, every: int = 1,
+                      **kw) -> list[np.ndarray]:
+    """Frames for a trajectory playback (``fast_debug_vis`` simple mode)."""
+    return [render_frame(model, objects, traj[i], **kw)
+            for i in range(0, len(traj), every)]
+
+
+def write_video(frames, path: str, fps: int = 10):
+    """MJPG video via cv2 if present, else an .npz frame dump
+    (reference ``make_video_writer``, ``omg/config.py:190-196``)."""
+    try:
+        import cv2
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps,
+                             (w, h))
+        for f in frames:
+            vw.write(f[..., ::-1])
+        vw.release()
+    except Exception:
+        np.savez_compressed(path + ".npz", frames=np.stack(frames))

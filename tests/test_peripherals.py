@@ -1,0 +1,106 @@
+"""Tests for point-cloud SDF, scene IO, task API, and visualization."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from omg_planner_tpu.config import OMGConfig
+from omg_planner_tpu.io import scene_io
+from omg_planner_tpu.io.assets import make_primitive, pose_at
+from omg_planner_tpu.ops.pointsdf import sdf_from_points
+from omg_planner_tpu.planner import tasks
+from omg_planner_tpu.planner.scene import Env, PlanningScene, PointEnv
+
+
+def test_point_sdf_distances():
+    rng = np.random.default_rng(3)
+    # points on a unit-ish sphere shell
+    pts = rng.normal(size=(500, 3))
+    pts = 0.2 * pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    f = sdf_from_points(pts, resolution=0.02, margin=0.1)
+    # center of the shell is ~0.2 away from all points
+    assert abs(f.get_distance(np.zeros(3)) - 0.2) < 0.05  # nearest-cell lookup
+    # at a sample point the distance is ~0
+    assert f.get_distance(pts[0]) < 0.03
+
+
+def test_point_env_plan_smoke():
+    cfg = OMGConfig(optim_steps=5, extra_smooth_steps=2, goal_set_max_num=4,
+                    ik_seed_num=2, ik_max_iters=25, learner_interp_steps=6,
+                    silent=True)
+    env = PointEnv(cfg)
+    rng = np.random.default_rng(4)
+    cloud = rng.uniform([0.4, -0.2, 0.1], [0.7, 0.2, 0.3], (800, 3))
+    env.compute_sdf_from_points(cloud.astype(np.float32))
+    scene = PlanningScene(cfg, env)
+    # external grasps: hand poses from known reachable configs
+    from omg_planner_tpu.models import panda
+    qs = np.array([
+        [0.0, -0.8, 0.0, -2.0, 0.0, 1.6, 0.785, 0.04, 0.04],
+        [0.2, -0.9, 0.1, -2.1, 0.0, 1.5, 0.6, 0.04, 0.04]])
+    import jax
+    hands = np.array(jax.vmap(
+        lambda q: panda.hand_pose(scene.model, q))(jnp.asarray(qs, jnp.float32)))
+    scene.external_grasps = hands
+    res = scene.step()
+    assert res is not None
+    assert np.isfinite(res.traj).all()
+
+
+def test_scene_io_roundtrip(tmp_path):
+    objs, target = [
+        make_primitive("mug", "cylinder", [0.04, 0.1], pose_at([0.5, 0, 0.3]),
+                       target=True),
+        make_primitive("tbl", "box", [1, 1, 0.3], pose_at([0.6, 0, 0]),
+                       compute_grasp=False, delta=0.02),
+    ], "mug"
+    p = str(tmp_path / "scene.npz")
+    scene_io.save_npz_scene(p, objs, target, goals=np.zeros((3, 9)))
+    d = scene_io.load_npz_scene(p)
+    assert d["target_name"] == "mug"
+    assert d["poses"].shape == (2, 4, 4)
+    assert d["goals"].shape == (3, 9)
+
+
+def test_attached_collision_points():
+    from omg_planner_tpu.models import panda
+    model = panda.load_panda(collision_point_num=12)
+    rng = np.random.default_rng(5)
+    obj_points = rng.uniform(-0.03, 0.03, (500, 3))
+    rel = np.eye(4)
+    rel[:3, 3] = [0.0, 0.0, 0.1]  # object 10cm in front of the hand
+    new_pts = tasks.attached_collision_points(model, rel, obj_points)
+    assert new_pts.shape == np.asarray(model.collision_points).shape
+    # finger links' points are now the object's (moved from the fingertips)
+    assert not np.allclose(np.asarray(new_pts[-1]),
+                           np.asarray(model.collision_points[-1]))
+
+
+def test_place_target_pipeline():
+    cfg = OMGConfig(optim_steps=4, extra_smooth_steps=2, goal_set_max_num=4,
+                    ik_seed_num=2, ik_max_iters=25, learner_interp_steps=6,
+                    silent=True)
+    scene = PlanningScene.synthetic(cfg, scene_id=0, n_obstacles=0)
+    grasp_conf = np.array([0.0, -0.8, 0.0, -2.0, 0.0, 1.6, 0.785, 0.04, 0.04])
+    target = scene.env.target
+    place = target.pose_mat.copy()
+    place[:3, 3] += [0.0, 0.15, 0.0]
+    res, achieved = tasks.place_target(scene, grasp_conf, place)
+    # attachment cleaned up regardless of plan outcome
+    assert not scene.env.target.attached
+    assert achieved.shape == (4, 4)
+
+
+def test_render_frame():
+    pytest.importorskip("matplotlib")
+    from omg_planner_tpu.models import panda
+    from omg_planner_tpu.viz.render import render_frame
+    model = panda.load_panda()
+    objs = [make_primitive("mug", "cylinder", [0.04, 0.1],
+                           pose_at([0.5, 0, 0.3]))]
+    img = render_frame(model, objs,
+                       np.array([0, -1.2, 0, -2.3, 0, 1.5, 0.8, 0.04, 0.04]))
+    assert img.shape == (480, 640, 3)
+    assert img.std() > 1  # actually drew something
