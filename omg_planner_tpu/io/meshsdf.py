@@ -1,0 +1,115 @@
+"""ctypes binding for the native mesh->SDF voxelizer (``native/meshsdf.cpp``).
+
+Replaces the reference's offline shape pipeline, which shells out to the
+external SDFGen / meshlab / blender binaries
+(``real_world/gen_sdf.py:13-56``, ``gen_xyz.py:49-75``).  The shared library
+is built on first use with the system g++ (no pip packages needed).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..ops.sdf import SignedDensityField
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO = os.path.join(_NATIVE_DIR, "libmeshsdf.so")
+_SRC = os.path.join(_NATIVE_DIR, "meshsdf.cpp")
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _SO, _SRC, "-lpthread"],
+            check=True, capture_output=True)
+    lib = ctypes.CDLL(_SO)
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.mesh_sdf.argtypes = [
+        f32p, ctypes.c_int, i32p, ctypes.c_int, f32p, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int]
+    lib.mesh_surface_points.argtypes = [
+        f32p, ctypes.c_int, i32p, ctypes.c_int, f32p, ctypes.c_int]
+    lib.mesh_surface_points.restype = ctypes.c_int
+    _LIB = lib
+    return lib
+
+
+def load_obj(path: str):
+    """Minimal wavefront .obj parser: returns (verts [V,3] f32,
+    faces [F,3] i32).  Polygons are fan-triangulated."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                for i in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[i], idx[i + 1]])
+    return (np.asarray(verts, np.float32),
+            np.asarray(faces, np.int32))
+
+
+def mesh_to_sdf(verts: np.ndarray, faces: np.ndarray,
+                delta: float | None = None, padding: int = 20,
+                target_dim: int = 64, n_threads: int = 0
+                ) -> SignedDensityField:
+    """Voxelize a triangle mesh into a SignedDensityField.
+
+    Grid sizing follows the reference convention (``gen_sdf.py:39-56``):
+    cell size from the mesh extent and a target dimension, plus ``padding``
+    cells on every side.
+    """
+    lib = _load()
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    lo = verts.min(0)
+    hi = verts.max(0)
+    if delta is None:
+        delta = float((hi - lo).max()) / target_dim
+    dims = np.ceil((hi - lo) / delta).astype(int) + 2 * padding
+    origin = (lo - padding * delta).astype(np.float32)
+    out = np.empty(tuple(dims), np.float32)
+    lib.mesh_sdf(verts, len(verts), faces, len(faces), origin,
+                 np.float32(delta), int(dims[0]), int(dims[1]), int(dims[2]),
+                 out, int(n_threads))
+    return SignedDensityField(out, origin.astype(np.float64), delta)
+
+
+def surface_points(verts: np.ndarray, faces: np.ndarray,
+                   max_points: int = 2000) -> np.ndarray:
+    """Surface point samples (collision/attachment points; replaces
+    ``gen_xyz.py``)."""
+    lib = _load()
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    out = np.empty((max_points, 3), np.float32)
+    n = lib.mesh_surface_points(verts, len(verts), faces, len(faces), out,
+                                max_points)
+    return out[:n]
+
+
+def process_mesh(path: str, out_dir: str | None = None, **kw):
+    """Full per-mesh asset generation (reference ``process_shape.py:86-179``):
+    SDF volume + surface points + extents, persisted next to the mesh."""
+    verts, faces = load_obj(path)
+    sdf = mesh_to_sdf(verts, faces, **kw)
+    pts = surface_points(verts, faces)
+    extents = verts.max(0) - verts.min(0)
+    out_dir = out_dir or os.path.dirname(path)
+    base = os.path.splitext(os.path.basename(path))[0]
+    sdf.dump(os.path.join(out_dir, base + "_chomp.pkl"))
+    np.savetxt(os.path.join(out_dir, base + ".xyz"), pts)
+    np.savetxt(os.path.join(out_dir, base + ".extent.txt"), extents[None])
+    return sdf, pts, extents
