@@ -1,0 +1,135 @@
+"""CLI driver (reference ``python -m omg.core``, ``omg/core.py:782-885``).
+
+Modes:
+  python -m omg_planner_tpu -f 0              one synthetic scene by id
+  python -m omg_planner_tpu -f scene.npz      scene from an .npz file
+  python -m omg_planner_tpu -exp              loop the 100-scene suite
+  python -m omg_planner_tpu -p -f 0           perception mode: plan against a
+                                              point-cloud SDF of the scene
+  add -w to write a playback video, -v to dump frames
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def _load_scene(cfg, name: str, n_obstacles: int):
+    from .planner.scene import PlanningScene
+
+    if name.endswith(".npz") and os.path.exists(name):
+        from .io.assets import make_primitive
+        from .io.scene_io import load_npz_scene
+        from .planner.scene import Env
+
+        d = load_npz_scene(name)
+        env = Env(cfg)
+        for kind, ext, pose, nm in zip(d["kinds"], d["extents"], d["poses"],
+                                       d["names"]):
+            env.add_object(make_primitive(
+                str(nm), str(kind), np.trim_zeros(np.asarray(ext), "b"),
+                pose, compute_grasp=(str(nm) == d["target_name"])))
+        env.set_target(d["target_name"])
+        return PlanningScene(cfg, env)
+    return PlanningScene.synthetic(cfg, scene_id=int(name),
+                                   n_obstacles=n_obstacles)
+
+
+def _perception_plan(cfg, scene_id: int, n_obstacles: int):
+    """Plan from observed points: sample object surfaces as the 'observed'
+    cloud, rebuild a PointEnv, reuse the scene's grasp IK goals as external
+    grasps (reference ``-p`` flow, ``omg/core.py:826-867``)."""
+    import jax.numpy as jnp
+
+    from .models import panda
+    from .planner.scene import PlanningScene, PointEnv
+
+    full = PlanningScene.synthetic(cfg, scene_id=scene_id,
+                                   n_obstacles=n_obstacles)
+    goal_set = full.build_goal_set()
+    mask = np.asarray(goal_set.mask)
+    grasp_configs = np.asarray(goal_set.grasps)[mask]
+    if len(grasp_configs) == 0:
+        print("no grasps found for perception mode")
+        return None
+    import jax
+    hands = np.array(jax.vmap(
+        lambda q: panda.hand_pose(full.model, q))(
+            jnp.asarray(grasp_configs, jnp.float32)))
+
+    # "observed" obstacle points: non-target object surfaces in world frame
+    clouds = []
+    for i, o in enumerate(full.env.objects):
+        if i == full.env.target_idx or o.points is None:
+            continue
+        clouds.append(o.points @ o.pose_mat[:3, :3].T + o.pose_mat[:3, 3])
+    cloud = np.concatenate(clouds, axis=0).astype(np.float32)
+
+    env = PointEnv(cfg)
+    env.compute_sdf_from_points(cloud)
+    scene = PlanningScene(cfg, env)
+    scene.external_grasps = hands
+    return scene
+
+
+def main():
+    ap = argparse.ArgumentParser(prog="omg_planner_tpu")
+    ap.add_argument("-f", "--file", default="0",
+                    help="scene id (int) or scene .npz path")
+    ap.add_argument("-exp", "--experiment", action="store_true",
+                    help="loop the 100-scene suite")
+    ap.add_argument("-p", "--perception", action="store_true")
+    ap.add_argument("-w", "--write_video", action="store_true")
+    ap.add_argument("-v", "--vis", action="store_true")
+    ap.add_argument("--obstacles", type=int, default=2)
+    ap.add_argument("--fast", action="store_true",
+                    help="history-free while-loop plan")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from .config import OMGConfig
+
+    cfg = OMGConfig()
+
+    def run_one(scene, name):
+        res = scene.step(fast=args.fast)
+        if res is None:
+            return False
+        if args.write_video or args.vis:
+            from .viz.render import render_trajectory, write_video
+
+            frames = render_trajectory(
+                scene.model, scene.env.objects, res.traj, every=2)
+            os.makedirs("output_videos", exist_ok=True)
+            write_video(frames, f"output_videos/{name}.avi")
+            print(f"video: output_videos/{name}.avi")
+        return bool(res.flag)
+
+    if args.experiment:
+        cfg = cfg.replace(use_standoff=False)  # core.py:876
+        wins = 0
+        t0 = time.time()
+        for sid in range(100):
+            scene = _load_scene(cfg, str(sid), args.obstacles)
+            wins += run_one(scene, f"scene_{sid}")
+            print(f"scene_{sid}: cumulative success {wins}/{sid + 1}")
+        print(f"total: {wins}/100 in {time.time() - t0:.1f}s")
+    elif args.perception:
+        scene = _perception_plan(cfg, int(args.file), args.obstacles)
+        if scene is not None:
+            run_one(scene, f"perception_{args.file}")
+    else:
+        scene = _load_scene(cfg, args.file, args.obstacles)
+        run_one(scene, f"scene_{args.file}")
+
+
+if __name__ == "__main__":
+    main()
