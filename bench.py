@@ -59,9 +59,12 @@ def build_problems(cfg, n_scenes, n_obstacles=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", type=int, default=20)
-    ap.add_argument("--obstacles", type=int, default=2)
+    ap.add_argument("--obstacles", type=int, default=3)
     ap.add_argument("--reps", type=int, default=3)
-    args = ap.parse_args()
+    ap.add_argument("--full-steps", action="store_true",
+                    help="disable early termination: raw optimizer "
+                         "throughput at the fixed 50+20 step budget")
+    args, _ = ap.parse_known_args()
 
     import jax
 
@@ -71,6 +74,8 @@ def main():
 
     # standard reference budget: T=30, 50+20 steps, <=100 goals
     cfg = OMGConfig(silent=True)
+    if args.full_steps:
+        cfg = cfg.replace(pre_terminate=False)
     model = panda.load_panda(collision_point_num=cfg.collision_point_num)
 
     t0 = time.time()

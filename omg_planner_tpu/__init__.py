@@ -5,3 +5,21 @@ OMG-Planner (RSS 2020)."""
 from .config import OMGConfig, HorizonParams  # noqa: F401
 
 __version__ = "0.1.0"
+
+# persistent XLA compilation cache: the remote-compile path on shared TPU
+# pools is slow (minutes for the full plan program); caching makes every
+# subsequent process start warm. Opt out with OMG_TPU_NO_CACHE=1.
+import os as _os
+
+if not _os.environ.get("OMG_TPU_NO_CACHE"):
+    import jax as _jax
+
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
+                      ".jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -142,13 +142,14 @@ DEFAULT_END = np.array(
     [-0.99, -1.74, -0.61, -3.04, 0.88, 1.21, -1.12, 0.04, 0.04])
 
 TABLE_TOP = 0.18
+# graspable dimensions stay under the Panda's 0.08 m max gripper opening
 _OBJ_KINDS = [
-    ("mug", "cylinder", [0.042, 0.10]),
-    ("can", "cylinder", [0.033, 0.12]),
-    ("cracker_box", "box", [0.06, 0.055, 0.10]),
+    ("mug", "cylinder", [0.032, 0.10]),
+    ("can", "cylinder", [0.030, 0.12]),
+    ("cracker_box", "box", [0.055, 0.05, 0.10]),
     ("sugar_box", "box", [0.045, 0.045, 0.14]),
-    ("ball", "sphere", [0.035]),
-    ("bottle", "cylinder", [0.035, 0.15]),
+    ("ball", "sphere", [0.032]),
+    ("bottle", "cylinder", [0.030, 0.15]),
 ]
 
 
@@ -172,15 +173,29 @@ def synthetic_tabletop_scene(scene_id: int, n_obstacles: int = 2):
         tkind[0], tkind[1], tkind[2],
         pose_at([tx, ty, tz], rng.uniform(0, 2 * np.pi)), target=True))
 
-    # obstacles
+    # obstacles: the first ones sit on the approach corridor toward the
+    # target (so the straight-line initialization collides and the
+    # optimizer has real work); the rest scatter as clutter
     placed = [(tx, ty)]
     for i in range(n_obstacles):
-        okind = _OBJ_KINDS[(scene_id + i + 1) % len(_OBJ_KINDS)]
-        for _ in range(20):
-            ro = rng.uniform(0.4, 0.68)
-            tho = rng.uniform(-0.7, 0.7)
-            ox, oy = ro * np.cos(tho), ro * np.sin(tho)
-            if all((ox - px) ** 2 + (oy - py) ** 2 > 0.14**2
+        if i < 2:
+            # corridor blockers are tall so low approaches must deviate
+            okind = ("pitcher", "cylinder", [0.045, 0.24])
+        else:
+            okind = _OBJ_KINDS[(scene_id + i + 1) % len(_OBJ_KINDS)]
+        ox = oy = None
+        for attempt in range(30):
+            if i < 2:
+                # along the base->target chord, slightly offset
+                f = rng.uniform(0.55, 0.8)
+                perp = rng.uniform(-0.06, 0.06)
+                ox = f * tx - perp * np.sin(th)
+                oy = f * ty + perp * np.cos(th)
+            else:
+                ro = rng.uniform(0.4, 0.68)
+                tho = rng.uniform(-0.7, 0.7)
+                ox, oy = ro * np.cos(tho), ro * np.sin(tho)
+            if all((ox - px) ** 2 + (oy - py) ** 2 > 0.11**2
                    for px, py in placed):
                 break
         placed.append((ox, oy))
