@@ -26,7 +26,7 @@ def build_problems(cfg, n_scenes, n_obstacles=2):
     import jax
     import jax.numpy as jnp
 
-    from omg_planner_tpu.ops.sdf import combine_sdfs
+    from omg_planner_tpu.ops.sdf import bake_scene, combine_sdfs
     from omg_planner_tpu.parallel.batch import pad_objects, stack_problems
     from omg_planner_tpu.planner.scene import PlanningScene
 
@@ -43,9 +43,11 @@ def build_problems(cfg, n_scenes, n_obstacles=2):
     pad_to = tuple(all_shapes.max(axis=0))
     max_obj = max(len(s.env.objects) for s in scenes)
     t_goal = 0.0
+    bake = jax.jit(bake_scene)
     for scene in scenes:
-        scene.env._scene_sdf = combine_sdfs(
-            [o.sdf for o in scene.env.objects], pad_to=pad_to)
+        stack = combine_sdfs([o.sdf for o in scene.env.objects],
+                             pad_to=pad_to)
+        scene.env._scene_sdf = bake(stack) if cfg.sdf_baked else stack
         t0 = time.time()
         problem = scene.build_problem()
         jax.block_until_ready(problem.goal_set.grasps)

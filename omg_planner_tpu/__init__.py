@@ -23,3 +23,12 @@ if not _os.environ.get("OMG_TPU_NO_CACHE"):
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+# TPU matmul precision: XLA's default lowers f32 matmuls to bf16 passes,
+# which breaks IK convergence tolerances (~1e-3) through the 7-link FK
+# chain.  The framework's matmuls are tiny (4x4 chains, TxT operators), so
+# full-f32 costs nothing; hot large matmuls can opt down locally.
+try:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+except Exception:
+    pass

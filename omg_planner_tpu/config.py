@@ -124,6 +124,10 @@ class OMGConfig:
     # count static for XLA and let arc-length weighting absorb the density
     # difference).
     learner_interp_steps: int = 0  # 0 -> use `timesteps`
+    # pre-bake SDF gradient channels per scene: 8 corner gathers per
+    # point/object instead of 56 (exact in the interior; see
+    # ops.sdf.BakedSceneSDF)
+    sdf_baked: bool = True
     ik_max_iters: int = 60
     ik_pos_tol: float = 1e-4
     ik_rot_tol: float = 1e-3

@@ -49,13 +49,19 @@ def stack_problems(problems: Sequence[PlanProblem]) -> PlanProblem:
 
 def pad_objects(problem: PlanProblem, num_objects: int) -> PlanProblem:
     """Pad a problem's object dimension with disabled dummy objects."""
-    o = problem.scene.data.shape[0]
+    from ..ops.sdf import BakedSceneSDF
+
+    baked = isinstance(problem.scene, BakedSceneSDF)
+    vol = problem.scene.data4 if baked else problem.scene.data
+    o = vol.shape[0]
     if o == num_objects:
         return problem
     extra = num_objects - o
-    data = jnp.concatenate(
-        [problem.scene.data,
-         jnp.ones((extra,) + problem.scene.data.shape[1:])], axis=0)
+    if baked:
+        fill = jnp.zeros((extra,) + vol.shape[1:]).at[..., 0].set(1.0)
+    else:
+        fill = jnp.ones((extra,) + vol.shape[1:])
+    data = jnp.concatenate([vol, fill], axis=0)
     lim = jnp.concatenate(
         [problem.scene.limits,
          jnp.tile(problem.scene.limits[-1:], (extra, 1))], axis=0)
@@ -69,9 +75,9 @@ def pad_objects(problem: PlanProblem, num_objects: int) -> PlanProblem:
         clearances=pad1(cp.clearances, 0.0),
         disables=pad1(cp.disables, 1.0),
     )
-    return problem._replace(
-        scene=problem.scene._replace(data=data, limits=lim),
-        cost_params=cost_params)
+    scene = (problem.scene._replace(data4=data, limits=lim) if baked
+             else problem.scene._replace(data=data, limits=lim))
+    return problem._replace(scene=scene, cost_params=cost_params)
 
 
 def plan_batch(model: panda.PandaModel, cfg: OMGConfig,
@@ -191,34 +197,28 @@ def make_sharded_plan(mesh: Mesh, model: panda.PandaModel, cfg: OMGConfig):
     additionally sharded on their goal dimension.  Returns
     (trajs [S, T, 9], goal_idx [S], done [S]).
     """
-    specs = PlanProblem(
-        start=P("scene"), end=P("scene"), traj_init=P("scene"),
-        goal_set=GoalSet(
-            grasps=P("scene", "goal"), reach_grasps=P("scene", "goal"),
-            mask=P("scene", "goal"), potentials=P("scene", "goal")),
-        scene=jax.tree.map(lambda _: P("scene"),
-                           _scene_struct()),
-        cost_params=jax.tree.map(lambda _: P("scene"), _params_struct()),
-        joint_lower=P("scene"), joint_upper=P("scene"),
-    )
 
     def local_batch(problems: PlanProblem):
         return jax.vmap(
             lambda pr: _plan_goal_sharded(model, cfg, pr, "goal"))(problems)
 
-    fn = jax.shard_map(
-        local_batch, mesh=mesh, in_specs=(specs,),
-        out_specs=(P("scene"), P("scene"), P("scene")),
-        check_vma=False)
-    return jax.jit(fn)
+    jitted = {}
+
+    def call(problems: PlanProblem):
+        # specs depend on the problem pytree structure (SceneSDF vs baked)
+        struct = jax.tree.structure(problems)
+        if struct not in jitted:
+            specs = jax.tree.map(lambda _: P("scene"), problems)
+            specs = specs._replace(goal_set=GoalSet(
+                grasps=P("scene", "goal"), reach_grasps=P("scene", "goal"),
+                mask=P("scene", "goal"), potentials=P("scene", "goal")))
+            fn = jax.shard_map(
+                local_batch, mesh=mesh, in_specs=(specs,),
+                out_specs=(P("scene"), P("scene"), P("scene")),
+                check_vma=False)
+            jitted[struct] = jax.jit(fn)
+        return jitted[struct](problems)
+
+    return call
 
 
-def _scene_struct():
-    from ..ops.sdf import SceneSDF
-    return SceneSDF(data=0, limits=0)
-
-
-def _params_struct():
-    from ..ops.chomp import CostParams
-    return CostParams(inv_poses=0, epsilons=0, padding_scales=0,
-                      clearances=0, disables=0, target_idx=0)

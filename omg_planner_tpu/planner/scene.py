@@ -10,6 +10,7 @@ arrays and restage on the next plan — the device never sees python objects.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import List
 
@@ -38,11 +39,13 @@ class Env:
         self.objects: List[SceneObject] = []
         self.target_idx = 0
         self._scene_sdf: SceneSDF | None = None
+        self.version = 0  # bumped on every edit; staged-state invalidation
 
     # -- edits ------------------------------------------------------------
     def add_object(self, obj: SceneObject):
         self.objects.append(obj)
         self._scene_sdf = None
+        self.version += 1
 
     def remove_object(self, name: str):
         idx = self.names.index(name)
@@ -50,17 +53,21 @@ class Env:
         if self.target_idx >= len(self.objects):
             self.target_idx = 0
         self._scene_sdf = None
+        self.version += 1
 
     def clear(self):
         self.objects = []
         self._scene_sdf = None
+        self.version += 1
 
     def set_target(self, name: str):
         self.target_idx = self.names.index(name)
         self.objects[self.target_idx].compute_grasp = True
+        self.version += 1
 
     def update_pose(self, name: str, pose_mat: np.ndarray):
         self.objects[self.names.index(name)].update_pose(pose_mat)
+        self.version += 1
 
     @property
     def names(self):
@@ -73,7 +80,11 @@ class Env:
     # -- staging ----------------------------------------------------------
     def scene_sdf(self) -> SceneSDF:
         if self._scene_sdf is None:
-            self._scene_sdf = combine_sdfs([o.sdf for o in self.objects])
+            stack = combine_sdfs([o.sdf for o in self.objects])
+            if self.cfg.sdf_baked:
+                from ..ops.sdf import bake_scene
+                stack = jax.jit(bake_scene)(stack)
+            self._scene_sdf = stack
         return self._scene_sdf
 
     def cost_params(self) -> CostParams:
@@ -136,6 +147,22 @@ class PointEnv(Env):
         self._scene_sdf = None
 
 
+@functools.lru_cache(maxsize=64)
+def _goal_set_fn(cfg: OMGConfig, attached: bool, z_up: bool, y_up: bool):
+    """Jitted goal-set builder for a (cfg, attachment) mode."""
+
+    def f(model, scene_sdf, params, poses, start, key, obj_pos):
+        if z_up:
+            poses = gs.z_upsample_poses(poses, obj_pos)
+        if y_up:
+            poses = gs.y_upsample_poses(poses)
+        valid = jnp.ones(poses.shape[0], bool)
+        return gs.build_goal_set(model, cfg, scene_sdf, params, poses, valid,
+                                 start, key, attached=attached)
+
+    return jax.jit(f)
+
+
 class PlanningScene:
     """Session owning an Env + jitted planner (reference ``PlanningScene``,
     ``omg/core.py:459-779``, minus the GL renderer)."""
@@ -168,28 +195,24 @@ class PlanningScene:
 
     # -- staging ----------------------------------------------------------
     def build_goal_set(self) -> GoalSet:
+        """Goal-set construction as ONE jitted device call (the reference
+        pays process-pool pickling here; eager dispatch would pay a network
+        round trip per op on remote TPU pools)."""
         cfg = self.cfg
         env = self.env
-        scene = env.scene_sdf()
-        params = env.cost_params()
         t = env.target
         if self.external_grasps is not None:
             poses = np.asarray(self.external_grasps)
         else:
             poses = env.grasp_poses_world()
-
-        poses_j = jnp.asarray(poses, jnp.float32)
-        if t.attached and cfg.z_upsample:
-            poses_j = gs.z_upsample_poses(
-                poses_j, jnp.asarray(t.pose_mat[:3, 3], jnp.float32))
-        if cfg.y_upsample and not t.attached:
-            poses_j = gs.y_upsample_poses(poses_j)
-        valid = jnp.ones(poses_j.shape[0], bool)
         self.key, sub = jax.random.split(self.key)
-        goal_set = gs.build_goal_set(
-            self.model, cfg, scene, params, poses_j, valid,
-            jnp.asarray(self.start, jnp.float32), sub, attached=t.attached)
-        return goal_set
+        fn = _goal_set_fn(cfg, bool(t.attached),
+                          bool(t.attached and cfg.z_upsample),
+                          bool(cfg.y_upsample and not t.attached))
+        return fn(self.model, env.scene_sdf(), env.cost_params(),
+                  jnp.asarray(poses, jnp.float32),
+                  jnp.asarray(self.start, jnp.float32), sub,
+                  jnp.asarray(t.pose_mat[:3, 3], jnp.float32))
 
     def build_problem(self, goal_set: GoalSet | None = None
                       ) -> plan_mod.PlanProblem:
@@ -199,7 +222,13 @@ class PlanningScene:
         end = jnp.asarray(self.end, jnp.float32)
         if cfg.goal_set_proj:
             if goal_set is None:
-                goal_set = self.build_goal_set()
+                staged = getattr(self, "_staged", None)
+                key = (env.version, tuple(self.start), cfg)
+                if staged is not None and staged[0] == key:
+                    goal_set = staged[1]
+                else:
+                    goal_set = self.build_goal_set()
+                    self._staged = (key, goal_set)
         else:
             g = cfg.goal_set_max_num
             goal_set = GoalSet(
