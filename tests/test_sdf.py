@@ -154,3 +154,34 @@ def test_penalize_inside_and_resize():
     d0 = f.delta
     f.resize(2.0)
     assert abs(f.delta - 2 * d0) < 1e-9
+
+
+def test_baked_matches_exact_interior():
+    """The 4-channel baked query must match the exact 7-trilinear query away
+    from the outermost cells (see BakedSceneSDF docstring)."""
+    import jax
+    from omg_planner_tpu.ops.sdf import bake_scene
+
+    rng = np.random.default_rng(9)
+    f1 = SignedDensityField.from_analytic("box", [0.1, 0.08, 0.12],
+                                          delta=0.008)
+    f2 = SignedDensityField.from_analytic("sphere", [0.06], delta=0.006)
+    scene = combine_sdfs([f1, f2])
+    baked = jax.jit(bake_scene)(scene)
+    pose = np.eye(4)
+    pose[:3, 3] = [0.05, -0.02, 0.01]
+    inv = jnp.asarray(np.stack([np.linalg.inv(pose), np.eye(4)]), jnp.float32)
+    eps = jnp.asarray([0.2, 0.1])
+    pad = jnp.asarray([1.0, 1.0])
+    clear = jnp.asarray([0.01, 0.0])
+    dis = jnp.asarray([0.0, 0.0])
+    # probes comfortably inside BOTH volumes (the smaller sphere volume has
+    # half-extent 0.132; OOB-boundary gradients differ by design — the
+    # reference's out-of-volume => 1.0 convention makes them artifacts in
+    # either path)
+    pts = jnp.asarray(rng.uniform(-0.07, 0.07, (300, 3)), jnp.float32)
+    p1, g1, c1 = sdf_potentials(scene, inv, pts, eps, pad, clear, dis)
+    p2, g2, c2 = sdf_potentials(baked, inv, pts, eps, pad, clear, dis)
+    np.testing.assert_allclose(np.array(p1), np.array(p2), atol=1e-5)
+    np.testing.assert_allclose(np.array(c1), np.array(c2), atol=0)
+    np.testing.assert_allclose(np.array(g1), np.array(g2), atol=1e-3)
