@@ -14,10 +14,13 @@ import os as _os
 if not _os.environ.get("OMG_TPU_NO_CACHE"):
     import jax as _jax
 
-    _cache = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
-                      ".jax_cache"))
+    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not _cache:
+        # separate caches per backend: AOT artifacts are machine-specific
+        _plat = _os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+        _cache = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "..",
+            ".jax_cache", _plat)
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

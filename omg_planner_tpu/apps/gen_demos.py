@@ -1,0 +1,63 @@
+"""Demonstration generation: plan random scenes, keep successes.
+
+Reference ``bullet/gen_data.py:52-167`` loops random scenes, plans, executes
+in PyBullet, and saves trajectories that succeed.  Here success is the
+planner's ``execute`` criterion (collision-free + smooth,
+``omg/cost.py:501-503``); physics-in-the-loop validation runs through
+``bullet_exec`` when pybullet is installed.
+
+Usage:  python -m omg_planner_tpu.apps.gen_demos -n 20 -o data/demos
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..config import OMGConfig
+from ..io import scene_io
+from ..planner.scene import PlanningScene
+
+
+def generate(n_scenes: int, out_dir: str, cfg: OMGConfig | None = None,
+             n_obstacles: int = 3, fast: bool = True) -> int:
+    cfg = cfg or OMGConfig(silent=True)
+    os.makedirs(out_dir, exist_ok=True)
+    kept = 0
+    for sid in range(n_scenes):
+        scene = PlanningScene.synthetic(cfg, scene_id=sid,
+                                        n_obstacles=n_obstacles)
+        res = scene.step(fast=fast)
+        if res is None or not bool(res.info.execute):
+            continue
+        goals = np.asarray(scene.goal_set.grasps)[
+            np.asarray(scene.goal_set.mask)]
+        meta = {
+            "poses": np.stack([o.pose_mat for o in scene.env.objects]),
+            "names": np.array([o.name for o in scene.env.objects]),
+            "target": np.array(scene.env.target.name),
+        }
+        scene_io.save_demonstration(
+            os.path.join(out_dir, f"demo_{sid}.npz"),
+            res.traj, goals, meta)
+        kept += 1
+    return kept
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=20)
+    ap.add_argument("-o", "--out", default="data/demonstrations")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    kept = generate(args.n, args.out)
+    print(f"saved {kept}/{args.n} successful demonstrations to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -241,6 +241,13 @@ class PlanningScene:
         if cfg.goal_set_proj and int(goal_set.mask.sum()) > 0:
             gi = gs.goal_idx_policy(cfg, goal_set, start)
             end = goal_set.grasps[gi]
+        if cfg.dynamic_timestep:
+            # horizon from start-goal distance (core.py:64-75); changes the
+            # static T -> per-T jit cache entry
+            t_dyn = cfg.dynamic_timesteps(self.start, np.asarray(end))
+            if t_dyn != cfg.timesteps:
+                cfg = cfg.replace(timesteps=t_dyn)
+                self.cfg = cfg
         traj0 = plan_mod.init_trajectory(cfg, start, end)
         lo, hi = self.model.soft_limits(cfg.soft_joint_limit_padding)
         return plan_mod.PlanProblem(
