@@ -1,0 +1,67 @@
+"""Batched + mesh-sharded planning tests (8 virtual CPU devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omg_planner_tpu.config import OMGConfig
+from omg_planner_tpu.models import panda
+from omg_planner_tpu.parallel.batch import (
+    make_sharded_plan, pad_objects, plan_batch_jit, stack_problems)
+
+
+def _cfg():
+    return OMGConfig(optim_steps=4, extra_smooth_steps=2, timesteps=10,
+                     goal_set_max_num=8, ik_seed_num=2, ik_max_iters=20,
+                     learner_interp_steps=5, silent=True)
+
+
+def _problems(cfg, n):
+    import __graft_entry__ as ge
+    model, base = ge._tiny_problem(cfg)
+    return model, [base] * n
+
+
+def test_plan_batch_vmap():
+    cfg = _cfg()
+    model, problems = _problems(cfg, 3)
+    stacked = stack_problems(problems)
+    res = plan_batch_jit(model, cfg, stacked)
+    assert np.asarray(res.traj).shape == (3, cfg.timesteps, 9)
+    assert np.isfinite(np.asarray(res.traj)).all()
+    # identical problems must give identical plans
+    t = np.asarray(res.traj)
+    np.testing.assert_allclose(t[0], t[1], atol=1e-6)
+
+
+def test_sharded_plan_matches_shapes():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+
+    cfg = _cfg()
+    model, problems = _problems(cfg, 4)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("scene", "goal"))
+    fn = make_sharded_plan(mesh, model, cfg)
+    stacked = stack_problems(problems)
+    trajs, goal_idx, done = jax.tree.map(np.asarray, fn(stacked))
+    assert trajs.shape == (4, cfg.timesteps, 9)
+    assert np.isfinite(trajs).all()
+    # all scene shards solved the identical problem -> identical outputs
+    np.testing.assert_allclose(trajs[0], trajs[-1], atol=1e-5)
+
+
+def test_pad_objects_disables_dummies():
+    cfg = _cfg()
+    model, problems = _problems(cfg, 1)
+    pr = problems[0]
+    padded = pad_objects(pr, pr.cost_params.disables.shape[0] + 2)
+    assert float(padded.cost_params.disables[-1]) == 1.0
+    assert float(padded.cost_params.disables[-2]) == 1.0
+    # plan result unchanged by disabled padding
+    from omg_planner_tpu.planner.plan import plan_fast
+    r1 = jax.jit(lambda p: plan_fast(model, cfg, p).traj)(pr)
+    r2 = jax.jit(lambda p: plan_fast(model, cfg, p).traj)(padded)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)

@@ -1,0 +1,60 @@
+"""End-to-end plan regression: determinism + golden snapshot + invariants."""
+
+import numpy as np
+import pytest
+
+from omg_planner_tpu.config import OMGConfig
+from omg_planner_tpu.planner.scene import PlanningScene
+
+CFG = OMGConfig(optim_steps=8, extra_smooth_steps=3, goal_set_max_num=8,
+                ik_seed_num=3, ik_max_iters=30, learner_interp_steps=8,
+                silent=True)
+
+
+@pytest.fixture(scope="module")
+def result():
+    scene = PlanningScene.synthetic(CFG, scene_id=0, n_obstacles=2)
+    res = scene.step()
+    assert res is not None
+    return scene, res
+
+
+def test_plan_succeeds(result):
+    scene, res = result
+    assert bool(res.flag)
+    assert float(res.info.collide) <= CFG.allow_collision_point
+    assert float(res.info.reach) < 0.01
+    assert float(res.info.smooth) < CFG.terminate_smooth_loss
+
+
+def test_plan_deterministic(result):
+    scene, res = result
+    scene2 = PlanningScene.synthetic(CFG, scene_id=0, n_obstacles=2)
+    res2 = scene2.step()
+    np.testing.assert_allclose(res.traj, res2.traj, atol=1e-6)
+    assert int(res.goal_idx) == int(res2.goal_idx)
+
+
+def test_trajectory_invariants(result):
+    scene, res = result
+    traj = res.traj
+    # fingers clamped to [0, 0.04] (core.py:51)
+    assert traj[:, -2:].min() >= -1e-6
+    assert traj[:, -2:].max() <= 0.04 + 1e-6
+    # joint limits respected within the smoothed-projection tolerance
+    lo = np.asarray(scene.model.joint_lower) - 0.05
+    hi = np.asarray(scene.model.joint_upper) + 0.05
+    assert (traj >= lo).all() and (traj <= hi).all()
+    # with standoff, the tail equals the chosen reach tail rows
+    gi = int(res.goal_idx)
+    tail = np.asarray(scene.goal_set.reach_grasps)[gi]
+    np.testing.assert_allclose(traj[-CFG.reach_tail_length:, :7],
+                               tail[:, :7], atol=5e-3)
+
+
+def test_history_shapes(result):
+    scene, res = result
+    total = CFG.optim_steps + CFG.extra_smooth_steps
+    assert res.history.shape == (total, CFG.timesteps, 9)
+    assert res.info_history.cost.shape == (total,)
+    assert res.selected_goals.shape == (total,)
