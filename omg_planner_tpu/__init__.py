@@ -16,8 +16,11 @@ if not _os.environ.get("OMG_TPU_NO_CACHE"):
 
     _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if not _cache:
-        # separate caches per backend: AOT artifacts are machine-specific
-        _plat = _os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+        # separate caches per backend: AOT artifacts are machine-specific.
+        # jax.config reflects any jax.config.update("jax_platforms", ...)
+        # done before this import (tests switch to cpu that way).
+        _plat = (_jax.config.jax_platforms
+                 or _os.environ.get("JAX_PLATFORMS", "default")).split(",")[0]
         _cache = _os.path.join(
             _os.path.dirname(_os.path.abspath(__file__)), "..",
             ".jax_cache", _plat)

@@ -83,7 +83,7 @@ def plan_to_conf(scene: PlanningScene, start_conf: np.ndarray,
 
 def place_target(scene: PlanningScene, grasp_conf: np.ndarray,
                  place_pose: np.ndarray, target_name: str | None = None,
-                 fast: bool = False):
+                 apply_standoff: bool = False, fast: bool = False):
     """Plan a placement with the target attached to the hand
     (reference ``trial.py:68-185``).
 
@@ -91,10 +91,19 @@ def place_target(scene: PlanningScene, grasp_conf: np.ndarray,
     ``place_pose``: desired world pose [4, 4] of the object after placing.
     Returns (result, achieved_obj_pose) and leaves the scene detached with
     the target at its achieved pose.
+
+    As in the reference (``trial.py:83``): the held object's own collision
+    is disabled (its points ride the hand as attached collision points
+    instead), and the standoff tail is off unless ``apply_standoff``.
     """
     if target_name is not None:
         scene.env.set_target(target_name)
     t = scene.env.target
+    base_cfg = scene.cfg
+    scene.cfg = base_cfg.replace(
+        disable_collision_set=tuple(base_cfg.disable_collision_set)
+        + (t.name,),
+        use_standoff=apply_standoff)
 
     # attach: record pose relative to the hand at the grasp configuration
     scene.attach_target(np.asarray(grasp_conf))
@@ -114,8 +123,9 @@ def place_target(scene: PlanningScene, grasp_conf: np.ndarray,
     try:
         result = scene.step(fast=fast)
     finally:
-        # restore hand points, detach
+        # restore hand points, detach, restore config
         scene.model = scene.model._replace(collision_points=base_points)
+        scene.cfg = base_cfg
 
     if result is None or not bool(result.info.execute):
         # placement failed: roll the object back (trial.py:123-131)
