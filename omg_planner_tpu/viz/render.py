@@ -112,3 +112,32 @@ def write_video(frames, path: str, fps: int = 10):
         vw.release()
     except Exception:
         np.savez_compressed(path + ".npz", frames=np.stack(frames))
+
+
+def render_grasps(model, obj, grasp_poses_obj: np.ndarray, max_grasps=30,
+                  size=(640, 480)) -> np.ndarray:
+    """Grasp-database viewer (reference ``real_world/vis_grasp.py``): draw
+    gripper wireframes over the object's points."""
+    plt = _require_mpl()
+    fig = plt.figure(figsize=(size[0] / 100, size[1] / 100), dpi=100)
+    ax = fig.add_subplot(111, projection="3d")
+    # gripper wireframe anchor points (reference omg/util.py:308-320)
+    anchors = np.array([
+        [0, 0, 0], [0, 0, 0.058], [0, -0.043, 0.058], [0, 0.043, 0.058],
+        [0, -0.043, 0.098], [0, 0.043, 0.098]])
+    lines = [(0, 1), (1, 2), (1, 3), (2, 4), (3, 5)]
+    if obj is not None and obj.points is not None:
+        ax.scatter(obj.points[:, 0], obj.points[:, 1], obj.points[:, 2],
+                   s=2, c="0.4")
+    for pose in grasp_poses_obj[:max_grasps]:
+        w = anchors @ pose[:3, :3].T + pose[:3, 3]
+        for a, b in lines:
+            ax.plot(*np.stack([w[a], w[b]]).T, "-", color="tab:green",
+                    lw=1, alpha=0.7)
+    ax.set_box_aspect([1, 1, 1])
+    lim = 0.2
+    ax.set_xlim(-lim, lim); ax.set_ylim(-lim, lim); ax.set_zlim(-lim, lim)
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
