@@ -128,6 +128,11 @@ class OMGConfig:
     # point/object instead of 56 (exact in the interior; see
     # ops.sdf.BakedSceneSDF)
     sdf_baked: bool = True
+    # score learner goal candidates against a scene-fused world-frame
+    # potential volume (1 gather-channel instead of per-object stencils;
+    # see ops.sdf.WorldPotential). CHOMP gradients stay exact.
+    learner_world_potential: bool = True
+    world_potential_resolution: float = 0.015
     ik_max_iters: int = 60
     ik_pos_tol: float = 1e-4
     ik_rot_tol: float = 1e-3

@@ -31,7 +31,7 @@ from ..models import panda
 from ..utils.diff import get_derivative
 from ..utils.spline import multi_linear_interpolate
 from .chomp import CostParams, GoalSet
-from .sdf import SceneSDF, sdf_potentials
+from .sdf import SceneSDF, WorldPotential, sdf_potentials, world_potential_lookup
 
 NUM_EXPERTS = 5
 _ETA_POWERS = (-2, -1, 0, 2, 4)  # reference online_learner.py:84
@@ -120,6 +120,7 @@ def cost_vector(
     traj: jnp.ndarray,       # [T, 9]
     goal_set: GoalSet,
     t: jnp.ndarray,          # learner step (1-based at call, as reference)
+    world_potential: WorldPotential | None = None,
 ) -> jnp.ndarray:
     """Goal-candidate objective estimates [G] (reference ``:104-160``)."""
     clamp = 1
@@ -138,9 +139,12 @@ def cost_vector(
     poses = panda.forward_kinematics_batch(model, flat_q)
     x = panda.collision_point_positions(model, poses)  # [G*n, 10, P, 3]
     p = x.shape[2]
-    pot, _, _ = sdf_potentials(
-        scene, params.inv_poses, x.reshape(-1, 3), params.epsilons,
-        params.padding_scales, params.clearances, params.disables)
+    if cfg.learner_world_potential and world_potential is not None:
+        pot = world_potential_lookup(world_potential, x.reshape(-1, 3))
+    else:
+        pot, _, _ = sdf_potentials(
+            scene, params.inv_poses, x.reshape(-1, 3), params.epsilons,
+            params.padding_scales, params.clearances, params.disables)
     pot = pot.reshape(g, n, panda.NUM_LINKS, p)
 
     # arc-length weights: |d x / dt| along the interpolation axis
@@ -252,6 +256,7 @@ def update_goal(
     traj: jnp.ndarray,
     goal_set: GoalSet,
     state: LearnerState,
+    world_potential: WorldPotential | None = None,
 ):
     """Advance the learner one step and pick argmax goal
     (reference ``update_goal``, ``:237-249``).
@@ -264,7 +269,8 @@ def update_goal(
         state = update_goal_dist(cfg, state, jnp.zeros(goal_set.capacity),
                                  goal_set, traj[-1])
     else:
-        cv = cost_vector(model, scene, params, cfg, hp, traj, goal_set, t)
+        cv = cost_vector(model, scene, params, cfg, hp, traj, goal_set, t,
+                         world_potential)
         state = update_goal_dist(cfg, state, cv, goal_set, traj[-1])
     goal_idx = jnp.argmax(jnp.where(goal_set.mask, state.p, -jnp.inf))
     state = state._replace(ti=state.ti.at[goal_idx].add(1.0))

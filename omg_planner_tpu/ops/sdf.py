@@ -310,6 +310,95 @@ def _query_one_object(flat, limits, pts_obj):
     return value, grad
 
 
+class WorldPotential(NamedTuple):
+    """Scene-fused hinge-potential field on a world-frame grid.
+
+    Baked once per scene for the online learner's goal-candidate scoring
+    (``ops/learner.py``): the learner's sweep needs only scalar potentials
+    (no gradients, no per-object resolution), so one single-channel
+    trilinear (8 gathers) replaces the per-object 4-channel stencil.
+    Outside the grid the potential is 0 (bounds cover the reachable
+    workspace plus the epsilon band).  CHOMP gradients keep the exact
+    per-object query.
+    """
+
+    data: jnp.ndarray    # [X, Y, Z]
+    origin: jnp.ndarray  # [3]
+    delta: jnp.ndarray   # scalar
+
+    @property
+    def dims(self):
+        return self.data.shape
+
+
+# default workspace bounds for the Panda at the origin (meters)
+WORLD_BOUNDS = (np.array([-0.4, -0.9, -0.15]), np.array([1.1, 0.9, 1.25]))
+
+
+def bake_world_potential(
+    scene,                      # SceneSDF | BakedSceneSDF
+    inv_poses: jnp.ndarray,
+    epsilons: jnp.ndarray,
+    padding_scales: jnp.ndarray,
+    clearances: jnp.ndarray,
+    disables: jnp.ndarray,
+    resolution: float = 0.015,
+    bounds=WORLD_BOUNDS,
+    chunk: int = 65536,
+) -> WorldPotential:
+    """Evaluate the summed hinge potential on a world grid (device-side,
+    once per scene; amortized over every learner step)."""
+    lo, hi = bounds
+    dims = tuple(int(np.ceil((hi[i] - lo[i]) / resolution)) for i in range(3))
+    ax = [lo[i] + (jnp.arange(dims[i]) + 0.5) * resolution for i in range(3)]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    cells = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    n = cells.shape[0]
+    pad = (-n) % chunk
+    cells = jnp.concatenate([cells, jnp.zeros((pad, 3))], axis=0)
+
+    def body(c):
+        pot, _, _ = sdf_potentials(scene, inv_poses, c, epsilons,
+                                   padding_scales, clearances, disables)
+        return pot
+
+    pots = jax.lax.map(body, cells.reshape(-1, chunk, 3))
+    data = pots.reshape(-1)[:n].reshape(dims)
+    return WorldPotential(
+        data=data, origin=jnp.asarray(lo, jnp.float32),
+        delta=jnp.asarray(resolution, jnp.float32))
+
+
+def world_potential_lookup(wp: WorldPotential, points: jnp.ndarray):
+    """Trilinear potential lookup, out-of-grid => 0. points [P,3] -> [P]."""
+    dims = wp.data.shape
+    pg = (points - wp.origin) / wp.delta - 0.5  # cell-center convention
+    c0 = jnp.floor(pg).astype(jnp.int32)
+    f = pg - c0
+    x0, y0, z0 = c0[..., 0], c0[..., 1], c0[..., 2]
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    inb = ((x0 >= 0) & (x0 + 1 < dims[0]) & (y0 >= 0) & (y0 + 1 < dims[1])
+           & (z0 >= 0) & (z0 + 1 < dims[2]))
+    x0c = jnp.clip(x0, 0, dims[0] - 2)
+    y0c = jnp.clip(y0, 0, dims[1] - 2)
+    z0c = jnp.clip(z0, 0, dims[2] - 2)
+    flat = wp.data.reshape(-1)
+    base = (x0c * dims[1] + y0c) * dims[2] + z0c
+
+    def val(dx, dy, dz):
+        return jnp.take(flat, base + (dx * dims[1] + dy) * dims[2] + dz,
+                        axis=0)
+
+    dx00 = val(0, 0, 0) * (1 - fx) + val(1, 0, 0) * fx
+    dx01 = val(0, 0, 1) * (1 - fx) + val(1, 0, 1) * fx
+    dx10 = val(0, 1, 0) * (1 - fx) + val(1, 1, 0) * fx
+    dx11 = val(0, 1, 1) * (1 - fx) + val(1, 1, 1) * fx
+    dxy0 = dx00 * (1 - fy) + dx10 * fy
+    dxy1 = dx01 * (1 - fy) + dx11 * fy
+    out = dxy0 * (1 - fz) + dxy1 * fz
+    return jnp.where(inb, out, 0.0)
+
+
 def _hinge_and_reduce(value, grad_obj, r, epsilons, padding_scales,
                       clearances, disables):
     """Shared hinge potential + world rotation + object reduction

@@ -107,7 +107,7 @@ def _plan_goal_sharded(model, cfg, problem: PlanProblem, axis: str):
     def full_cost_vector(traj, t):
         cv_local = ol.cost_vector(
             model, problem.scene, problem.cost_params, cfg, hp, traj,
-            problem.goal_set, t)
+            problem.goal_set, t, problem.world_potential)
         cv_all = jax.lax.all_gather(cv_local, axis)  # [n_shards, g_local]
         return cv_all.reshape(-1)
 

@@ -28,7 +28,7 @@ from ..models import panda
 from ..ops import chomp
 from ..ops.chomp import CostParams, CostInfo, GoalSet
 from ..ops import learner as ol
-from ..ops.sdf import SceneSDF
+from ..ops.sdf import SceneSDF, WorldPotential
 from ..utils.spline import cubic_interpolate, linear_interpolate
 
 
@@ -43,6 +43,7 @@ class PlanProblem(NamedTuple):
     cost_params: CostParams
     joint_lower: jnp.ndarray  # [9] soft limits
     joint_upper: jnp.ndarray  # [9]
+    world_potential: WorldPotential  # learner scoring field (may be 1-cell dummy)
 
 
 class PlanResult(NamedTuple):
@@ -121,7 +122,8 @@ def plan(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
     learner0 = ol.init_learner_state(problem.goal_set)
     if _learner_enabled(cfg):
         cv0 = ol.cost_vector(model, problem.scene, problem.cost_params, cfg,
-                             hp, traj0, problem.goal_set, jnp.asarray(0.0))
+                             hp, traj0, problem.goal_set, jnp.asarray(0.0),
+                             problem.world_potential)
         goal_idx0 = jnp.argmin(cv0).astype(jnp.int32)
         traj0 = cubic_interpolate(
             problem.start, problem.goal_set.grasps[goal_idx0], cfg.timesteps)
@@ -133,7 +135,7 @@ def plan(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
             do_learn = (carry.step < cfg.optim_steps) & (~carry.done)
             new_lstate, new_goal = ol.update_goal(
                 model, problem.scene, problem.cost_params, cfg, hp, traj,
-                problem.goal_set, lstate)
+                problem.goal_set, lstate, problem.world_potential)
             lstate = jax.tree.map(
                 lambda a, b: jnp.where(do_learn, b, a), lstate, new_lstate)
             goal_idx = jnp.where(do_learn, new_goal.astype(jnp.int32),
@@ -182,7 +184,8 @@ def plan_fast(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
     learner0 = ol.init_learner_state(problem.goal_set)
     if _learner_enabled(cfg):
         cv0 = ol.cost_vector(model, problem.scene, problem.cost_params, cfg,
-                             hp, traj0, problem.goal_set, jnp.asarray(0.0))
+                             hp, traj0, problem.goal_set, jnp.asarray(0.0),
+                             problem.world_potential)
         goal_idx0 = jnp.argmin(cv0).astype(jnp.int32)
         traj0 = cubic_interpolate(
             problem.start, problem.goal_set.grasps[goal_idx0], cfg.timesteps)
@@ -196,7 +199,7 @@ def plan_fast(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
             do_learn = carry.step < cfg.optim_steps
             new_lstate, new_goal = ol.update_goal(
                 model, problem.scene, problem.cost_params, cfg, hp, traj,
-                problem.goal_set, lstate)
+                problem.goal_set, lstate, problem.world_potential)
             lstate = jax.tree.map(
                 lambda a, b: jnp.where(do_learn, b, a), lstate, new_lstate)
             goal_idx = jnp.where(do_learn, new_goal.astype(jnp.int32),

@@ -23,7 +23,8 @@ from ..io.assets import (DEFAULT_END, DEFAULT_START, SceneObject,
                          synthetic_tabletop_scene)
 from ..models import panda
 from ..ops.chomp import CostParams, GoalSet
-from ..ops.sdf import SceneSDF, combine_sdfs
+from ..ops.sdf import (SceneSDF, WorldPotential, bake_world_potential,
+                       combine_sdfs)
 from ..utils import pose as pose_utils
 from . import goal_set as gs
 from . import plan as plan_mod
@@ -148,6 +149,17 @@ class PointEnv(Env):
 
 
 @functools.lru_cache(maxsize=64)
+def _bake_wp_fn(cfg: OMGConfig):
+    def f(scene_sdf, params):
+        return bake_world_potential(
+            scene_sdf, params.inv_poses, params.epsilons,
+            params.padding_scales, params.clearances, params.disables,
+            resolution=cfg.world_potential_resolution)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
 def _goal_set_fn(cfg: OMGConfig, attached: bool, z_up: bool, y_up: bool):
     """Jitted goal-set builder for a (cfg, attachment) mode."""
 
@@ -253,7 +265,23 @@ class PlanningScene:
         return plan_mod.PlanProblem(
             start=start, end=end, traj_init=traj0, goal_set=goal_set,
             scene=env.scene_sdf(), cost_params=env.cost_params(),
-            joint_lower=lo, joint_upper=hi)
+            joint_lower=lo, joint_upper=hi,
+            world_potential=self._world_potential())
+
+    def _world_potential(self) -> WorldPotential:
+        """Scene-fused learner scoring field, cached per env version."""
+        cfg = self.cfg
+        if not (cfg.learner_world_potential and cfg.goal_set_proj):
+            return WorldPotential(
+                data=jnp.zeros((2, 2, 2)),
+                origin=jnp.zeros(3), delta=jnp.asarray(1.0))
+        cached = getattr(self, "_wp_cache", None)
+        if cached is not None and cached[0] == self.env.version:
+            return cached[1]
+        params = self.env.cost_params()
+        wp = _bake_wp_fn(cfg)(self.env.scene_sdf(), params)
+        self._wp_cache = (self.env.version, wp)
+        return wp
 
     # -- planning ---------------------------------------------------------
     def _get_plan_fn(self, fast: bool):
