@@ -1,0 +1,89 @@
+"""Goal-set machinery unit tests: augmentation, filters, dedupe, sampling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from omg_planner_tpu.config import OMGConfig
+from omg_planner_tpu.planner import goal_set as gs
+
+
+def test_flip_wrist():
+    cfg = OMGConfig()
+    q = jnp.zeros((4, 9)).at[:, 6].set(jnp.asarray([0.5, -0.5, 2.0, -2.8]))
+    flipped, ok = gs.flip_wrist(q, cfg)
+    f = np.array(flipped[:, 6])
+    np.testing.assert_allclose(f, [0.5 - np.pi, -0.5 + np.pi,
+                                   2.0 - np.pi, -2.8 + np.pi], atol=1e-6)
+    # all flipped values are inside the soft limit here
+    assert np.array(ok).all()
+    # a wrist near +pi flips to ~0 (inside); one at 0.01 flips to ~-3.13
+    q2 = jnp.zeros((1, 9)).at[0, 6].set(0.01)
+    _, ok2 = gs.flip_wrist(q2, cfg)
+    assert not bool(ok2[0])  # -3.13 is outside the padded limit
+
+
+def test_diversity_dedupe():
+    configs = jnp.asarray(np.array([
+        [0.0] * 9,
+        [0.01] * 9,           # within 0.5 of the first -> dropped
+        [1.0] * 9,            # far -> kept
+        [1.01] * 9,           # near the third -> dropped
+        [5.0] * 9,            # far -> kept
+    ]), jnp.float32)
+    valid = jnp.asarray([True, True, True, True, False])
+    kept = np.array(gs.diversity_dedupe(configs, valid))
+    assert list(kept) == [True, False, True, False, False]
+
+
+def test_sample_goals_respects_mask_and_capacity():
+    key = jax.random.PRNGKey(0)
+    valid = jnp.asarray([True] * 5 + [False] * 15)
+    idx, mask = gs.sample_goals(key, valid, 8)
+    assert int(mask.sum()) == 5  # only 5 valid candidates exist
+    chosen = np.array(idx)[np.array(mask)]
+    assert set(chosen).issubset(set(range(5)))
+
+    valid2 = jnp.asarray([True] * 20)
+    idx2, mask2 = gs.sample_goals(key, valid2, 8)
+    assert int(mask2.sum()) == 8
+    assert len(set(np.array(idx2).tolist())) == 8  # without replacement
+
+
+def test_z_upsample_rotates_about_object_origin():
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.5, 0.0, 0.3]))
+    obj_pos = jnp.asarray([0.4, 0.0, 0.3])
+    out = gs.z_upsample_poses(pose[None], obj_pos, bins=8)
+    assert out.shape == (8, 4, 4)
+    # distance from object origin preserved under each rotation
+    d0 = np.linalg.norm(np.array(pose)[:3, 3] - np.array(obj_pos))
+    d = np.linalg.norm(np.array(out)[:, :3, 3] - np.array(obj_pos), axis=1)
+    np.testing.assert_allclose(d, d0, atol=1e-5)
+
+
+def test_y_upsample_preserves_finger_contact():
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.5, 0.1, 0.3]))
+    out = gs.y_upsample_poses(pose[None], bins=5)
+    assert out.shape == (5, 4, 4)
+    finger = np.array([0, 0, 0.13])
+    contacts = np.array([
+        np.array(p)[:3, :3] @ finger + np.array(p)[:3, 3] for p in out])
+    np.testing.assert_allclose(contacts, np.tile(contacts[0], (5, 1)), atol=1e-5)
+
+
+def test_ycb_special_case_bowl():
+    from omg_planner_tpu.io.reference_data import ycb_special_case
+    rng = np.random.default_rng(0)
+    # mostly-sideways grasps (large y euler) should survive the bowl filter
+    poses = np.tile(np.eye(4), (10, 1, 1))
+    for i in range(10):
+        ang = rng.uniform(-np.pi / 2, np.pi / 2)
+        poses[i, :3, :3] = np.array([
+            [np.cos(ang), 0, np.sin(ang)],
+            [0, 1, 0],
+            [-np.sin(ang), 0, np.cos(ang)]])
+        poses[i, :3, 3] = rng.normal(scale=0.05, size=3)
+    out = ycb_special_case(poses.copy(), "024_bowl")
+    angles = np.abs(np.arcsin(-np.clip(poses[:, 2, 0], -1, 1)))
+    expected = (angles > 50 * np.pi / 180).sum()
+    assert len(out) == expected
