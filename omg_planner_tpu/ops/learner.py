@@ -63,8 +63,9 @@ def init_learner_state(goal_set: GoalSet) -> LearnerState:
     )
 
 
-def find_zero(f, x0, x1, iters: int = 40):
-    """Sign-bisection root finder (reference ``online_learner.py:17-29``)."""
+def find_zero(f, x0, x1, iters: int = 30):
+    """Sign-bisection root finder (reference ``online_learner.py:17-29``);
+    30 halvings exhaust f32 resolution of the bracket."""
     x = (x0 + x1) / 2.0
     s = (x1 - x0) / 4.0
 
@@ -77,35 +78,45 @@ def find_zero(f, x0, x1, iters: int = 40):
     return x
 
 
-def bregman_projection(x, v, delta, w, mask, iters: int = 20):
+def bregman_projection(x, v, delta, w, mask, max_iters: int = 20,
+                       tol: float = 1e-6):
     """Weighted/shifted-entropy Bregman projection onto the simplex
     (reference ``bp``, ``online_learner.py:32-58``), masked to valid goals.
+
+    The outer fixed-point loop exits on alpha convergence like the
+    reference (``:52-54``) — typically 1-2 iterations — via
+    ``lax.while_loop`` (this sits inside the sequential per-step learner
+    update, so saved iterations are saved wall-clock).
     """
     m = mask.astype(x.dtype)
-    alpha = jnp.zeros_like(x)
     target = 1.0 + jnp.sum(delta * m)
     shiftx = (x + delta) * m
+    upper = jnp.max(jnp.where(mask, w + v, -jnp.inf))
 
-    def body(_, alpha):
+    def solve_el(alpha):
         z = (alpha - v) / w
 
         def f(el):
-            return jnp.sum(shiftx * jnp.exp(jnp.clip(el / w + z, -60.0, 60.0))) - target
+            return jnp.sum(
+                shiftx * jnp.exp(jnp.clip(el / w + z, -60.0, 60.0))) - target
 
-        upper = jnp.max(jnp.where(mask, w + v, -jnp.inf))
-        el = find_zero(f, jnp.zeros_like(upper), upper)
+        return find_zero(f, jnp.zeros_like(upper), upper)
+
+    def cond(state):
+        it, alpha, diff = state
+        return (diff > tol) & (it < max_iters)
+
+    def body(state):
+        it, alpha, _ = state
+        el = solve_el(alpha)
         alpha_prime = jnp.maximum(
             0.0, v - el + w * jnp.log(delta / jnp.maximum(shiftx, 1e-20)))
-        return alpha_prime * m
+        alpha_prime = alpha_prime * m
+        return it + 1, alpha_prime, jnp.linalg.norm(alpha_prime - alpha)
 
-    alpha = jax.lax.fori_loop(0, iters, body, alpha)
-    z = (alpha - v) / w
-
-    def f(el):
-        return jnp.sum(shiftx * jnp.exp(jnp.clip(el / w + z, -60.0, 60.0))) - target
-
-    upper = jnp.max(jnp.where(mask, w + v, -jnp.inf))
-    el = find_zero(f, jnp.zeros_like(upper), upper)
+    _, alpha, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), jnp.zeros_like(x), jnp.asarray(jnp.inf)))
+    el = solve_el(alpha)
     y = shiftx * jnp.exp(jnp.clip((el + alpha - v) / w, -60.0, 60.0)) - delta
     y = jnp.maximum(y * m, 0.0)
     return y / jnp.maximum(jnp.sum(y), 1e-12)
