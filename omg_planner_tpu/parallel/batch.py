@@ -22,20 +22,18 @@ All collectives ride the mesh; scene parallelism is embarrassingly parallel
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import OMGConfig, schedule_weights
 from ..models import panda
 from ..ops import chomp
 from ..ops import learner as ol
 from ..ops.chomp import GoalSet
-from ..planner import plan as plan_mod
 from ..planner.plan import PlanProblem, plan_fast
 
 

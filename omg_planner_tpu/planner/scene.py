@@ -25,7 +25,6 @@ from ..models import panda
 from ..ops.chomp import CostParams, GoalSet
 from ..ops.sdf import (SceneSDF, WorldPotential, bake_world_potential,
                        combine_sdfs)
-from ..utils import pose as pose_utils
 from . import goal_set as gs
 from . import plan as plan_mod
 
@@ -301,6 +300,8 @@ class PlanningScene:
             if not self.cfg.silent:
                 print("planning not run... (empty goal set)")
             return None
+        if self.cfg.report_time:
+            print(f"goal set num: {int(problem.goal_set.mask.sum())}")
         t0 = time.time()
         result = self._get_plan_fn(fast)(self.model, problem)
         result = jax.tree.map(lambda x: np.asarray(x), result)
