@@ -202,6 +202,23 @@ def build_goal_set(
     s = seeds.shape[0]
     valid = valid & jnp.repeat(grasp_valid, s)
 
+    if cfg.increment_iks:
+        # second pass reseeded from found solutions (reference
+        # ``increment_iks``, ``omg/planner.py:436-441``): sample up to 10
+        # successful standoff configs as extra anchor seeds and re-solve
+        key, sub = jax.random.split(key)
+        gumbel = jax.random.gumbel(sub, valid.shape)
+        scores = jnp.where(valid, gumbel, -jnp.inf)
+        top = jax.lax.top_k(scores, 10)
+        extra = jnp.where(jnp.isfinite(top[0])[:, None],
+                          standoff[top[1], :7], seeds[0][None])
+        reach2, standoff2, valid2 = ik_ops.solve_goal_set(
+            model, cfg, grasp_poses_world, extra, lo[:7], hi[:7], attached)
+        valid2 = valid2 & jnp.repeat(grasp_valid, extra.shape[0])
+        reach = jnp.concatenate([reach, reach2])
+        standoff = jnp.concatenate([standoff, standoff2])
+        valid = jnp.concatenate([valid, valid2])
+
     if cfg.augment_flip_grasp and not attached:
         flip_standoff, ok1 = flip_wrist(standoff, cfg)
         flip_reach, _ = flip_wrist(reach, cfg)
