@@ -17,9 +17,14 @@ after one warmup iteration.
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def build_problems(cfg, n_scenes, n_obstacles=2):
@@ -44,7 +49,7 @@ def build_problems(cfg, n_scenes, n_obstacles=2):
     max_obj = max(len(s.env.objects) for s in scenes)
     t_goal = 0.0
     bake = jax.jit(bake_scene)
-    for scene in scenes:
+    for k, scene in enumerate(scenes):
         stack = combine_sdfs([o.sdf for o in scene.env.objects],
                              pad_to=pad_to)
         scene.env._scene_sdf = bake(stack) if cfg.sdf_baked else stack
@@ -52,6 +57,7 @@ def build_problems(cfg, n_scenes, n_obstacles=2):
         problem = scene.build_problem()
         jax.block_until_ready(problem.goal_set.grasps)
         t_goal += time.time() - t0
+        log(f"[bench] scene {k}: goal set {time.time()-t0:.1f}s")
         n_valid = int(np.asarray(problem.goal_set.mask).sum())
         meta.append(n_valid)
         problems.append(pad_objects(problem, max_obj))
@@ -60,7 +66,7 @@ def build_problems(cfg, n_scenes, n_obstacles=2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scenes", type=int, default=20)
+    ap.add_argument("--scenes", type=int, default=8)
     ap.add_argument("--obstacles", type=int, default=3)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--full-steps", action="store_true",
@@ -85,12 +91,14 @@ def main():
         cfg, args.scenes, args.obstacles)
     setup_time = time.time() - t0
 
+    log(f"[bench] setup done in {setup_time:.1f}s; compiling plan batch...")
     # warmup / compile
     t0 = time.time()
     res = plan_batch_jit(model, cfg, problems)
     jax.block_until_ready(res.traj)
     compile_time = time.time() - t0
 
+    log(f"[bench] compile+warmup {compile_time:.1f}s; timing...")
     times = []
     for _ in range(args.reps):
         t0 = time.time()
