@@ -107,7 +107,10 @@ def main():
         times.append(time.time() - t0)
     best = min(times)
     plans_per_s = args.scenes / best
-    success = float(np.asarray(res.flag).mean())
+    # with early termination disabled the reference's terminate flag can
+    # never fire; use the execute criterion (collision-free + smooth)
+    success = float(np.asarray(
+        res.info.execute if args.full_steps else res.flag).mean())
     steps_used = np.asarray(res.steps_used)
 
     baseline_rate = 1.0 / 3.0  # reference per-plan budget (config.py:130)
