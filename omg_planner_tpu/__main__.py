@@ -61,16 +61,20 @@ def _perception_plan(cfg, scene_id: int, n_obstacles: int):
         lambda q: panda.hand_pose(full.model, q))(
             jnp.asarray(grasp_configs, jnp.float32)))
 
-    # "observed" obstacle points: non-target object surfaces in world frame
-    clouds = []
-    for i, o in enumerate(full.env.objects):
-        if i == full.env.target_idx or o.points is None:
-            continue
-        clouds.append(o.points @ o.pose_mat[:3, :3].T + o.pose_mat[:3, 3])
-    cloud = np.concatenate(clouds, axis=0).astype(np.float32)
+    # observe the scene through the point-splat camera (partial view with
+    # self-occlusion; reference renders depth+mask and back-projects,
+    # core.py:826-867), then split target vs obstacles by segmentation
+    from .viz.camera import render_point_observation
+
+    pts, labels, _depth, _seg = render_point_observation(full.env.objects)
+    nontarget = pts[labels != full.env.target_idx].astype(np.float32)
+    if len(nontarget) > 3072:
+        nontarget = nontarget[
+            np.random.default_rng(0).choice(len(nontarget), 3072,
+                                            replace=False)]
 
     env = PointEnv(cfg)
-    env.compute_sdf_from_points(cloud)
+    env.compute_sdf_from_points(nontarget)
     scene = PlanningScene(cfg, env)
     scene.external_grasps = hands
     return scene

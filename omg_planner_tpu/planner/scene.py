@@ -69,6 +69,23 @@ class Env:
         self.objects[self.names.index(name)].update_pose(pose_mat)
         self.version += 1
 
+    def add_table(self, trans, extents=(1.0, 1.6, 0.36), delta=0.02):
+        """Convenience: a box table (reference ``Env.add_table``,
+        ``omg/core.py:294-306``)."""
+        from ..io.assets import make_primitive, pose_at
+        self.add_object(make_primitive(
+            "table", "box", list(extents), pose_at(trans),
+            compute_grasp=False, delta=delta))
+
+    def add_plane(self, z: float = 0.0):
+        """Convenience: the floor, collision-disabled by name (reference
+        ``Env.add_plane``; 'floor' is skipped in the cost layer,
+        ``omg/cost.py:311``)."""
+        from ..io.assets import make_primitive, pose_at
+        self.add_object(make_primitive(
+            "floor", "box", [3.0, 3.0, 0.02], pose_at([0, 0, z - 0.01]),
+            compute_grasp=False, delta=0.05))
+
     @property
     def names(self):
         return [o.name for o in self.objects]
@@ -204,6 +221,27 @@ class PlanningScene:
         env.set_target(target)
         return cls(cfg, env)
 
+    def set_precomputed_goals(self, goals: np.ndarray,
+                              reach_grasps: np.ndarray | None = None):
+        """Use precomputed goal configurations from a scene file instead of
+        grasp-DB IK (reference ``load_goal_from_scene``,
+        ``omg/planner.py:155-174``; standoff is off in that mode)."""
+        g = self.cfg.goal_set_max_num
+        n = min(len(goals), g)
+        grasps = np.zeros((g, 9), np.float32)
+        grasps[:n] = goals[:n]
+        if reach_grasps is None:
+            tails = np.repeat(grasps[:, None, :],
+                              self.cfg.reach_tail_length, axis=1)
+        else:
+            tails = np.zeros((g, self.cfg.reach_tail_length, 9), np.float32)
+            tails[:n] = reach_grasps[:n]
+        mask = np.zeros(g, bool)
+        mask[:n] = True
+        self._precomputed_goals = GoalSet(
+            grasps=jnp.asarray(grasps), reach_grasps=jnp.asarray(tails),
+            mask=jnp.asarray(mask), potentials=jnp.zeros(g))
+
     # -- staging ----------------------------------------------------------
     def build_goal_set(self) -> GoalSet:
         """Goal-set construction as ONE jitted device call (the reference
@@ -232,6 +270,9 @@ class PlanningScene:
         start = jnp.asarray(self.start, jnp.float32)
         end = jnp.asarray(self.end, jnp.float32)
         if cfg.goal_set_proj:
+            if goal_set is None and getattr(self, "_precomputed_goals",
+                                            None) is not None:
+                goal_set = self._precomputed_goals
             if goal_set is None:
                 staged = getattr(self, "_staged", None)
                 key = (env.version, tuple(self.start), cfg)

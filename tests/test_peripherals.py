@@ -104,3 +104,44 @@ def test_render_frame():
                        np.array([0, -1.2, 0, -2.3, 0, 1.5, 0.8, 0.04, 0.04]))
     assert img.shape == (480, 640, 3)
     assert img.std() > 1  # actually drew something
+
+
+def test_camera_observation():
+    from omg_planner_tpu.viz.camera import (back_project,
+                                            render_point_observation)
+    objs = [
+        make_primitive("mug", "cylinder", [0.032, 0.1],
+                       pose_at([0.5, 0.0, 0.3]), compute_grasp=False),
+        make_primitive("box", "box", [0.05, 0.05, 0.1],
+                       pose_at([0.5, 0.2, 0.3]), compute_grasp=False),
+    ]
+    pts, labels, depth, seg = render_point_observation(objs)
+    assert len(pts) > 50
+    assert set(np.unique(labels)).issubset({0, 1})
+    assert np.isfinite(depth).sum() > 50
+    # back-projection lands near the observed points
+    bp = back_project(depth, np.array([
+        [-0.9351, 0.3518, 0.0428, 0.3037],
+        [0.2065, 0.639, -0.741, 0.132],
+        [-0.2881, -0.684, -0.6702, 1.8803],
+        [0, 0, 0, 1.0]]), 131.25, 131.25)
+    assert bp.shape[1] == 3
+    center = bp.mean(0)
+    assert np.linalg.norm(center - [0.5, 0.1, 0.3]) < 0.25
+
+
+def test_precomputed_goal_scene():
+    from omg_planner_tpu.planner.scene import PlanningScene
+    cfg = OMGConfig(optim_steps=5, extra_smooth_steps=2, goal_set_max_num=8,
+                    use_standoff=False, silent=True)
+    scene = PlanningScene.synthetic(cfg, scene_id=0, n_obstacles=0)
+    goals = np.tile(np.array(
+        [0.2, -0.9, 0.1, -2.1, 0.0, 1.5, 0.6, 0.04, 0.04]), (3, 1))
+    goals += np.random.default_rng(0).normal(scale=0.05, size=goals.shape)
+    goals[:, 7:] = 0.04
+    scene.set_precomputed_goals(goals)
+    res = scene.step()
+    assert res is not None
+    # the final configuration is one of the provided goals
+    d = np.linalg.norm(res.traj[-1][None] - goals, axis=1)
+    assert d.min() < 0.05
