@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def _load_scene(cfg, name: str, n_obstacles: int):
+def _load_scene(cfg, name: str, n_obstacles: int, traj_init: str = "grasp"):
     from .planner.scene import PlanningScene
 
     if name.endswith(".npz") and os.path.exists(name):
@@ -34,7 +34,12 @@ def _load_scene(cfg, name: str, n_obstacles: int):
                 str(nm), str(kind), np.trim_zeros(np.asarray(ext), "b"),
                 pose, compute_grasp=(str(nm) == d["target_name"])))
         env.set_target(d["target_name"])
-        return PlanningScene(cfg, env)
+        scene = PlanningScene(cfg, env)
+        if traj_init == "scene" and "goals" in d:
+            # precomputed goals from the scene file (planner.py:155-174)
+            scene.set_precomputed_goals(
+                d["goals"], d.get("reach_grasps"))
+        return scene
     return PlanningScene.synthetic(cfg, scene_id=int(name),
                                    n_obstacles=n_obstacles)
 
@@ -89,6 +94,9 @@ def main():
     ap.add_argument("-p", "--perception", action="store_true")
     ap.add_argument("-w", "--write_video", action="store_true")
     ap.add_argument("-v", "--vis", action="store_true")
+    ap.add_argument("-g", "--grasp", default="grasp",
+                    choices=["grasp", "scene"],
+                    help="goal init: grasp DB IK, or precomputed scene goals")
     ap.add_argument("--obstacles", type=int, default=2)
     ap.add_argument("--fast", action="store_true",
                     help="history-free while-loop plan")
@@ -102,6 +110,8 @@ def main():
     from .config import OMGConfig
 
     cfg = OMGConfig()
+    if args.grasp == "scene":
+        cfg = cfg.replace(use_standoff=False)  # planner.py:160-161
 
     def run_one(scene, name):
         res = scene.step(fast=args.fast)
@@ -131,7 +141,7 @@ def main():
         if scene is not None:
             run_one(scene, f"perception_{args.file}")
     else:
-        scene = _load_scene(cfg, args.file, args.obstacles)
+        scene = _load_scene(cfg, args.file, args.obstacles, args.grasp)
         run_one(scene, f"scene_{args.file}")
 
 

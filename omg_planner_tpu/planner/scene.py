@@ -258,10 +258,19 @@ class PlanningScene:
         fn = _goal_set_fn(cfg, bool(t.attached),
                           bool(t.attached and cfg.z_upsample),
                           bool(cfg.y_upsample and not t.attached))
-        return fn(self.model, env.scene_sdf(), env.cost_params(),
-                  jnp.asarray(poses, jnp.float32),
-                  jnp.asarray(self.start, jnp.float32), sub,
-                  jnp.asarray(t.pose_mat[:3, 3], jnp.float32))
+        t0 = time.time()
+        goal_set = fn(self.model, env.scene_sdf(), env.cost_params(),
+                      jnp.asarray(poses, jnp.float32),
+                      jnp.asarray(self.start, jnp.float32), sub,
+                      jnp.asarray(t.pose_mat[:3, 3], jnp.float32))
+        if not cfg.silent:
+            n_valid = int(goal_set.mask.sum())
+            # parity with the reference's IK-init report (planner.py:445-454)
+            print(f"{t.name} IK init time: {time.time()-t0:.3f}, "
+                  f"goal set num: {n_valid}/{poses.shape[0]}")
+            if n_valid == 0:
+                print(f"{t.name} IK FAIL")
+        return goal_set
 
     def build_problem(self, goal_set: GoalSet | None = None
                       ) -> plan_mod.PlanProblem:
