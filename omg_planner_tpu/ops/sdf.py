@@ -252,30 +252,8 @@ def bake_scene(scene: SceneSDF) -> BakedSceneSDF:
     return BakedSceneSDF(data4=data4, limits=scene.limits)
 
 
-def _gather_zpair(vol_zlast: jnp.ndarray, xy_idx: jnp.ndarray,
-                  z_idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather contiguous (z, z+1) slices: vol [XY, Z, C], idx [P] -> [P,2,C].
-
-    One descriptor fetches 2*C contiguous floats — half the gather count of
-    per-corner ``jnp.take`` (gathers are the TPU bottleneck here).
-    """
-    starts = jnp.stack([xy_idx, z_idx], axis=-1)
-    c = vol_zlast.shape[-1]
-    return jax.lax.gather(
-        vol_zlast, starts,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2),
-            collapsed_slice_dims=(0,),
-            start_index_map=(0, 1)),
-        slice_sizes=(1, 2, c),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    ).reshape(xy_idx.shape[0], 2, c)
-
-
 def _query_one_object_baked(flat4, limits, pts_obj):
-    """4-channel trilinear: (value [P], grad [P, 3]) for one object.
-
-    ``flat4`` is [X*Y, Z, 4] (z-pairs contiguous)."""
+    """4-channel trilinear: (value [P], grad [P, 3]) for one object."""
     dims = limits[6:9].astype(jnp.int32)
     mn = limits[0:3]
     mx = limits[3:6]
@@ -291,29 +269,21 @@ def _query_one_object_baked(flat4, limits, pts_obj):
     x0c = jnp.clip(x0, 0, d0 - 2)
     y0c = jnp.clip(y0, 0, d1 - 2)
     z0c = jnp.clip(z0, 0, d2 - 2)
+    base = (x0c * d1 + y0c) * d2 + z0c
 
-    def corner_pair(dx, dy):
-        # [P, 2, 4]: both z corners of the (x0+dx, y0+dy) column
-        return _gather_zpair(flat4, (x0c + dx) * d1 + (y0c + dy), z0c)
+    def val(dx, dy, dz):
+        return jnp.take(flat4, base + (dx * d1 + dy) * d2 + dz, axis=0)
 
-    fz_ = fz[..., None]
-    v00 = corner_pair(0, 0)
-    v10 = corner_pair(1, 0)
-    v01 = corner_pair(0, 1)
-    v11 = corner_pair(1, 1)
-
-    def lerp_z(v):
-        return v[:, 0, :] * (1 - fz_) + v[:, 1, :] * fz_
-
-    fx_ = fx[..., None]
-    fy_ = fy[..., None]
-    d00 = lerp_z(v00)
-    d10 = lerp_z(v10)
-    d01 = lerp_z(v01)
-    d11 = lerp_z(v11)
-    dx0 = d00 * (1 - fx_) + d10 * fx_
-    dx1 = d01 * (1 - fx_) + d11 * fx_
-    out = dx0 * (1 - fy_) + dx1 * fy_  # [P, 4]
+    fx = fx[..., None]
+    fy = fy[..., None]
+    fz = fz[..., None]
+    dx00 = val(0, 0, 0) * (1 - fx) + val(1, 0, 0) * fx
+    dx01 = val(0, 0, 1) * (1 - fx) + val(1, 0, 1) * fx
+    dx10 = val(0, 1, 0) * (1 - fx) + val(1, 1, 0) * fx
+    dx11 = val(0, 1, 1) * (1 - fx) + val(1, 1, 1) * fx
+    dxy0 = dx00 * (1 - fy) + dx10 * fy
+    dxy1 = dx01 * (1 - fy) + dx11 * fy
+    out = dxy0 * (1 - fz) + dxy1 * fz  # [P, 4]
     value = jnp.where(inb, out[..., 0], 1.0)
     grad = jnp.where(inb[..., None], out[..., 1:], 0.0)
     return value, grad
@@ -412,23 +382,20 @@ def world_potential_lookup(wp: WorldPotential, points: jnp.ndarray):
     x0c = jnp.clip(x0, 0, dims[0] - 2)
     y0c = jnp.clip(y0, 0, dims[1] - 2)
     z0c = jnp.clip(z0, 0, dims[2] - 2)
-    vol = wp.data.reshape(dims[0] * dims[1], dims[2], 1)
+    flat = wp.data.reshape(-1)
+    base = (x0c * dims[1] + y0c) * dims[2] + z0c
 
-    def corner_pair(dx, dy):
-        return _gather_zpair(vol, (x0c + dx) * dims[1] + (y0c + dy), z0c)
+    def val(dx, dy, dz):
+        return jnp.take(flat, base + (dx * dims[1] + dy) * dims[2] + dz,
+                        axis=0)
 
-    fz_ = fz[..., None]
-
-    def lerp_z(v):
-        return (v[:, 0, :] * (1 - fz_) + v[:, 1, :] * fz_)[..., 0]
-
-    d00 = lerp_z(corner_pair(0, 0))
-    d10 = lerp_z(corner_pair(1, 0))
-    d01 = lerp_z(corner_pair(0, 1))
-    d11 = lerp_z(corner_pair(1, 1))
-    dx0 = d00 * (1 - fx) + d10 * fx
-    dx1 = d01 * (1 - fx) + d11 * fx
-    out = dx0 * (1 - fy) + dx1 * fy
+    dx00 = val(0, 0, 0) * (1 - fx) + val(1, 0, 0) * fx
+    dx01 = val(0, 0, 1) * (1 - fx) + val(1, 0, 1) * fx
+    dx10 = val(0, 1, 0) * (1 - fx) + val(1, 1, 0) * fx
+    dx11 = val(0, 1, 1) * (1 - fx) + val(1, 1, 1) * fx
+    dxy0 = dx00 * (1 - fy) + dx10 * fy
+    dxy1 = dx01 * (1 - fy) + dx11 * fy
+    out = dxy0 * (1 - fz) + dxy1 * fz
     return jnp.where(inb, out, 0.0)
 
 
@@ -465,8 +432,7 @@ def sdf_potentials_baked(
     :class:`BakedSceneSDF`).  Same signature/semantics as
     :func:`sdf_potentials` modulo outermost-cell gradient borders."""
     o = scene.num_objects
-    x_dim, y_dim, z_dim = scene.data4.shape[1:4]
-    flat4 = scene.data4.reshape(o, x_dim * y_dim, z_dim, 4)
+    flat4 = scene.data4.reshape(o, -1, 4)
     r = inv_poses[:, :3, :3]
     t = inv_poses[:, :3, 3]
     pts_obj = jnp.einsum("oab,pb->opa", r, points) + t[:, None, :]
