@@ -123,7 +123,10 @@ class OMGConfig:
     # ``timesteps - start``, online_learner.py:109-114; we keep the sample
     # count static for XLA and let arc-length weighting absorb the density
     # difference).
-    learner_interp_steps: int = 0  # 0 -> use `timesteps`
+    # reference shrinks this count from T to 1 over the plan
+    # (online_learner.py:109-114), averaging ~T/2; 15 matches that average
+    # at the standard horizon. 0 -> use `timesteps`.
+    learner_interp_steps: int = 15
     # pre-bake SDF gradient channels per scene: 8 corner gathers per
     # point/object instead of 56 (exact in the interior; see
     # ops.sdf.BakedSceneSDF)
