@@ -127,6 +127,10 @@ class OMGConfig:
     # (online_learner.py:109-114), averaging ~T/2; 15 matches that average
     # at the standard horizon. 0 -> use `timesteps`.
     learner_interp_steps: int = 15
+    # collision points per link used by the learner's candidate sweep
+    # (0 = all of collision_point_num, the reference behavior); lower values
+    # trade scoring resolution for gather bandwidth
+    learner_collision_points: int = 0
     # pre-bake SDF gradient channels per scene: 8 corner gathers per
     # point/object instead of 56 (exact in the interior; see
     # ops.sdf.BakedSceneSDF)

@@ -147,8 +147,16 @@ def cost_vector(
     g = goals.shape[0]
     flat_q = interp.reshape(g * n, -1)
 
-    poses = panda.forward_kinematics_batch(model, flat_q)
-    x = panda.collision_point_positions(model, poses)  # [G*n, 10, P, 3]
+    score_model = model
+    if cfg.learner_collision_points and \
+            cfg.learner_collision_points < model.num_collision_points:
+        stride = max(model.num_collision_points
+                     // cfg.learner_collision_points, 1)
+        score_model = model._replace(
+            collision_points=model.collision_points[:, ::stride, :]
+            [:, :cfg.learner_collision_points, :])
+    poses = panda.forward_kinematics_batch(score_model, flat_q)
+    x = panda.collision_point_positions(score_model, poses)  # [G*n,10,P,3]
     p = x.shape[2]
     if cfg.learner_world_potential and world_potential is not None:
         pot = world_potential_lookup(world_potential, x.reshape(-1, 3))
@@ -161,9 +169,9 @@ def cost_vector(
     # arc-length weights: |d x / dt| along the interpolation axis
     # (reference cost.py:235-275)
     x_start = panda.collision_point_positions(
-        model, panda.forward_kinematics(model, traj_start))  # [10, P, 3]
+        score_model, panda.forward_kinematics(score_model, traj_start))
     x_goal = panda.collision_point_positions(
-        model, panda.forward_kinematics_batch(model, goals))  # [G, 10, P, 3]
+        score_model, panda.forward_kinematics_batch(score_model, goals))
     xs = x.reshape(g, n, panda.NUM_LINKS, p, 3)
     xs = jnp.moveaxis(xs, 1, 3)  # [G, 10, P, n, 3]
     v = get_derivative(hp, xs, x_start[None], x_goal, 1)
