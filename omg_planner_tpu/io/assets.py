@@ -102,9 +102,11 @@ def make_primitive(name: str, kind: str, extents, pose_mat,
     grasps = synthetic_grasp_db(kind, extents) if compute_grasp else None
     extents = np.asarray(extents, np.float64)
     pts = _surface_points(kind, extents)
-    return SceneObject(name, sdf, pose_mat, target=target,
-                       compute_grasp=compute_grasp, grasps_poses=grasps,
-                       extents=extents, points=pts)
+    obj = SceneObject(name, sdf, pose_mat, target=target,
+                      compute_grasp=compute_grasp, grasps_poses=grasps,
+                      extents=extents, points=pts)
+    obj.kind = kind
+    return obj
 
 
 def _surface_points(kind, extents, n=500, seed=7):

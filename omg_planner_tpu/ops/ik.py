@@ -52,20 +52,35 @@ def ik_single(
     lower7: jnp.ndarray,
     upper7: jnp.ndarray,
 ) -> IKResult:
-    """Damped Newton IK with joint-limit clamping (vmap over leading dims)."""
-    lam = cfg.ik_damping
+    """Damped Newton IK with joint-limit clamping (vmap over leading dims).
 
-    def body(_, q):
+    Exits early on convergence (KDL's NR solver also iterates to a
+    tolerance); under vmap the loop runs until every lane converges, which
+    in practice halves the iteration count vs a fixed budget."""
+    lam = cfg.ik_damping
+    exit_tol = cfg.ik_pos_tol  # combined twist-norm exit threshold
+
+    def error_and_jac(q):
         hand, jac = _hand_fk_and_jacobian(model, q)
         e_pos = target[:3, 3] - hand[:3, 3]
         e_rot = so3_log(target[:3, :3] @ hand[:3, :3].T)
-        e = jnp.concatenate([e_pos, e_rot])
+        return jnp.concatenate([e_pos, e_rot]), jac
+
+    def cond(state):
+        it, _, err = state
+        return (it < cfg.ik_max_iters) & (err > exit_tol)
+
+    def body(state):
+        it, q, _ = state
+        e, jac = error_and_jac(q)
         jjt = jac @ jac.T + lam * jnp.eye(6, dtype=q.dtype)
         dq = jac.T @ jnp.linalg.solve(jjt, e)
         dq = jnp.clip(dq, -0.5, 0.5)
-        return jnp.clip(q + dq, lower7, upper7)
+        q = jnp.clip(q + dq, lower7, upper7)
+        return it + 1, q, jnp.linalg.norm(e)
 
-    q = jax.lax.fori_loop(0, cfg.ik_max_iters, body, seed)
+    _, q, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), seed, jnp.asarray(jnp.inf)))
     hand, _ = _hand_fk_and_jacobian(model, q)
     pos_err = jnp.linalg.norm(target[:3, 3] - hand[:3, 3])
     rot_err = jnp.linalg.norm(so3_log(target[:3, :3] @ hand[:3, :3].T))
