@@ -161,9 +161,20 @@ class SceneSDF(NamedTuple):
 
 
 def combine_sdfs(fields: Sequence[SignedDensityField],
-                 pad_to: tuple | None = None) -> SceneSDF:
+                 pad_to: tuple | None = None,
+                 pad_multiple: int = 16) -> SceneSDF:
+    """Stack per-object volumes, padded to a common shape.
+
+    Dims are additionally rounded up to ``pad_multiple`` so scene subsets
+    with similar object mixes produce identical array shapes — keeping the
+    jitted goal-set/plan programs' HLO (and the persistent compile cache)
+    stable across runs.
+    """
     shapes = np.array([f.data.shape for f in fields])
     max_shape = shapes.max(axis=0) if pad_to is None else np.asarray(pad_to)
+    if pad_multiple > 1:
+        max_shape = ((max_shape + pad_multiple - 1)
+                     // pad_multiple) * pad_multiple
     num = len(fields)
     data = np.ones((num, *max_shape), np.float32)
     limits = np.zeros((num, 10), np.float32)
