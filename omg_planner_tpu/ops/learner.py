@@ -185,6 +185,9 @@ def cost_vector(
 
     potentials = (cfg.base_obstacle_weight * collision
                   + cfg.smoothness_base_weight * cfg.dist_eps * smooth)
+    if cfg.grasp_optimize:
+        # grasp-quality term baked into goal_set.potentials at build time
+        potentials = potentials + goal_set.potentials
     potentials = jnp.where(goal_set.mask, potentials, 0.0)
     if cfg.normalize_cost:
         potentials = potentials / jnp.maximum(

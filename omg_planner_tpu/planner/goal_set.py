@@ -240,6 +240,20 @@ def build_goal_set(
     standoff_sel = standoff[idx]
     pot_sel = potentials[idx]
     grasps_sel = reach_sel[:, -1] if cfg.use_standoff else standoff_sel
+
+    if cfg.grasp_optimize:
+        # grasp-quality term (declared but unimplemented in the reference's
+        # released code — cfg.grasp_optimize/base_grasp_weight exist with
+        # info["grasp"]=0, omg/cost.py:513): penalize approach directions
+        # far from top-down (lift stability) plus the collision potential
+        # at the goal. Folded into `potentials` so the learner's and the
+        # init policy's costs both see it.
+        hands = jax.vmap(lambda q: panda.hand_pose(model, q))(grasps_sel)
+        approach_z = hands[:, :3, 2]  # world z-axis of panda_hand
+        downness = -approach_z[:, 2]  # 1 = straight down
+        quality = 0.5 * (1.0 - downness)
+        pot_sel = pot_sel + cfg.base_grasp_weight * quality
+
     return GoalSet(
         grasps=jnp.where(mask[:, None], grasps_sel, 0.0),
         reach_grasps=jnp.where(mask[:, None, None], reach_sel, 0.0),

@@ -87,3 +87,23 @@ def test_ycb_special_case_bowl():
     angles = np.abs(np.arcsin(-np.clip(poses[:, 2, 0], -1, 1)))
     expected = (angles > 50 * np.pi / 180).sum()
     assert len(out) == expected
+
+
+def test_grasp_optimize_prefers_top_down():
+    """With grasp_optimize on, goal potentials include a lift-stability
+    term favoring top-down approaches (beyond-reference feature; the
+    reference declares but never implements its grasp cost)."""
+    from omg_planner_tpu.planner.scene import PlanningScene
+    cfg = OMGConfig(optim_steps=3, extra_smooth_steps=1, goal_set_max_num=12,
+                    ik_seed_num=3, ik_max_iters=25, learner_interp_steps=5,
+                    silent=True)
+    s1 = PlanningScene.synthetic(cfg, scene_id=0, n_obstacles=0)
+    g1 = s1.build_goal_set()
+    s2 = PlanningScene.synthetic(cfg.replace(grasp_optimize=True),
+                                 scene_id=0, n_obstacles=0)
+    g2 = s2.build_goal_set()
+    m1 = np.array(g1.mask); m2 = np.array(g2.mask)
+    assert m1.sum() > 0 and m2.sum() > 0
+    # the quality term strictly increases potentials (quality >= 0)
+    assert float(np.array(g2.potentials)[m2].mean()) >= \
+        float(np.array(g1.potentials)[m1].mean()) - 1e-6
