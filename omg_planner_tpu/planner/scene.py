@@ -198,7 +198,11 @@ class PlanningScene:
     def __init__(self, cfg: OMGConfig, env: Env | None = None,
                  seed: int = 233):
         self.cfg = cfg
-        self.env = env if env is not None else Env(cfg)
+        if env is None:
+            # use_point_sdf selects the perception-mode environment
+            # (reference core.py:468)
+            env = PointEnv(cfg) if cfg.use_point_sdf else Env(cfg)
+        self.env = env
         self.model = self.env.model
         self.start = np.array(DEFAULT_START)
         self.end = np.array(DEFAULT_END)
