@@ -329,11 +329,12 @@ class PlanningScene:
                 data=jnp.zeros((2, 2, 2)),
                 origin=jnp.zeros(3), delta=jnp.asarray(1.0))
         cached = getattr(self, "_wp_cache", None)
-        if cached is not None and cached[0] == self.env.version:
+        wp_key = (self.env.version, cfg)
+        if cached is not None and cached[0] == wp_key:
             return cached[1]
         params = self.env.cost_params()
         wp = _bake_wp_fn(cfg)(self.env.scene_sdf(), params)
-        self._wp_cache = (self.env.version, wp)
+        self._wp_cache = (wp_key, wp)
         return wp
 
     # -- planning ---------------------------------------------------------
@@ -394,8 +395,10 @@ class PlanningScene:
         t.rel_hand_pose = np.linalg.inv(hand) @ t.pose_mat
         t.attached = True
         self.env._scene_sdf = None
+        self.env.version += 1
 
     def detach_target(self):
         self.env.target.attached = False
         self.env.target.rel_hand_pose = None
         self.env._scene_sdf = None
+        self.env.version += 1
