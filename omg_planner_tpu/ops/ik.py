@@ -88,6 +88,68 @@ def ik_single(
     return IKResult(q=q, success=ok, pos_err=pos_err, rot_err=rot_err)
 
 
+def _batch_error_and_jac(model, q7: jnp.ndarray, targets: jnp.ndarray):
+    """Errors and Jacobians for a batch: q7 [B,7], targets [B,4,4]
+    -> (e [B,6], jac [B,6,7]) using the lane-last batched FK."""
+    b = q7.shape[0]
+    q9 = jnp.concatenate(
+        [q7, jnp.full((b, 2), 0.04, q7.dtype)], axis=1)
+    poses, origins, axes = panda.forward_kinematics_batch(
+        model, q9, return_joint_info=True, apply_offset=False)
+    hand = poses[:, 7]
+    p = hand[:, :3, 3]
+    e_pos = targets[:, :3, 3] - p
+    r_err = jnp.einsum("bij,bkj->bik", targets[:, :3, :3], hand[:, :3, :3])
+    e_rot = jax.vmap(so3_log)(r_err)
+    e = jnp.concatenate([e_pos, e_rot], axis=1)
+    lin = jnp.cross(axes[:, :7], p[:, None, :] - origins[:, :7])  # [B,7,3]
+    jac = jnp.concatenate([lin, axes[:, :7]], axis=-1)  # [B,7,6]
+    return e, jnp.swapaxes(jac, 1, 2)
+
+
+def ik_batch(
+    model: panda.PandaModel,
+    targets: jnp.ndarray,   # [B, 4, 4]
+    seeds: jnp.ndarray,     # [B, 7]
+    cfg: OMGConfig,
+    lower7: jnp.ndarray,
+    upper7: jnp.ndarray,
+) -> IKResult:
+    """Damped Newton IK over a whole batch in one loop.
+
+    Functionally the same solver as :func:`ik_single`, but the FK/Jacobian
+    evaluation is one lane-last batched program per iteration instead of a
+    vmapped stack of 4x4 dots (which XLA:TPU pads catastrophically) —
+    goal-set IK is ~10x faster this way.  Exits when every lane converges.
+    """
+    lam = cfg.ik_damping
+    exit_tol = cfg.ik_pos_tol
+    eye6 = jnp.eye(6, dtype=seeds.dtype)
+
+    def cond(state):
+        it, _, max_err = state
+        return (it < cfg.ik_max_iters) & (max_err > exit_tol)
+
+    def body(state):
+        it, q, _ = state
+        e, jac = _batch_error_and_jac(model, q, targets)
+        jjt = jnp.einsum("bij,bkj->bik", jac, jac) + lam * eye6
+        sol = jnp.linalg.solve(jjt, e[..., None])[..., 0]
+        dq = jnp.einsum("bij,bi->bj", jac, sol)
+        dq = jnp.clip(dq, -0.5, 0.5)
+        q = jnp.clip(q + dq, lower7, upper7)
+        err = jnp.linalg.norm(e, axis=1)
+        return it + 1, q, err.max()
+
+    _, q, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), seeds, jnp.asarray(jnp.inf)))
+    e, _ = _batch_error_and_jac(model, q, targets)
+    pos_err = jnp.linalg.norm(e[:, :3], axis=1)
+    rot_err = jnp.linalg.norm(e[:, 3:], axis=1)
+    ok = (pos_err < cfg.ik_pos_tol * 10) & (rot_err < cfg.ik_rot_tol * 10)
+    return IKResult(q=q, success=ok, pos_err=pos_err, rot_err=rot_err)
+
+
 def solve_standoff_chain(
     model: panda.PandaModel,
     grasp_pose: jnp.ndarray,      # [4, 4] world grasp (hand pose)
@@ -134,8 +196,12 @@ def solve_goal_set(
     upper7: jnp.ndarray,
     attached: bool = False,
 ):
-    """All (grasp x seed) standoff chains in one vmapped solve
+    """All (grasp x seed) standoff chains as staged batched solves
     (replaces ``multiprocessing.Pool(4)``, ``omg/planner.py:395-443``).
+
+    The chain's sequential dependency (each tail pose seeded by the
+    previous solution, ``planner.py:41-77``) becomes 1 + tail calls to
+    :func:`ik_batch` over the full (grasp x seed) batch.
 
     Returns (reach [N*S, tail, 9], standoff [N*S, 9], valid [N*S]).
     """
@@ -147,14 +213,29 @@ def solve_goal_set(
         offs = offs.at[:, 2, 3].set(zs)
     standoffs = jnp.einsum("nab,kbc->nkac", grasp_poses_world, offs)
 
-    def solve_one(grasp, tails, seed):
-        return solve_standoff_chain(
-            model, grasp, tails, seed, cfg, lower7, upper7, attached)
-
     n, s = grasp_poses_world.shape[0], seeds.shape[0]
-    f = jax.vmap(jax.vmap(solve_one, in_axes=(None, None, 0)),
-                 in_axes=(0, 0, None))
-    reach, standoff, valid = f(grasp_poses_world, standoffs, seeds)
-    return (reach.reshape(n * s, tail, -1),
-            standoff.reshape(n * s, -1),
-            valid.reshape(n * s))
+    b = n * s
+    # batch layout: grasp-major, seed-minor (grasp i, seed j) -> i*s + j
+    tgt = jnp.repeat(standoffs, s, axis=0)        # [B, tail, 4, 4]
+    seeds_b = jnp.tile(seeds, (n, 1))             # [B, 7]
+
+    far = ik_batch(model, tgt[:, -1], seeds_b, cfg, lower7, upper7)
+    ok = far.success
+    prev = far.q
+    qs = []
+    for k in range(tail):
+        res = ik_batch(model, tgt[:, k], prev, cfg, lower7, upper7)
+        ok = ok & res.success
+        prev = res.q
+        qs.append(res.q)
+    qs = jnp.stack(qs, axis=1)                    # [B, tail, 7]
+    if not attached:
+        qs = qs[:, ::-1]  # farthest ... grasp (planner.py:65)
+    diff = jnp.linalg.norm(jnp.diff(qs, axis=1), axis=(1, 2))
+    valid = ok & (diff < 2.0)
+    fingers = jnp.full((b, tail, 2), 0.04, qs.dtype)
+    reach = jnp.concatenate([qs, fingers], axis=-1)
+    standoff_q = qs[:, -1] if attached else qs[:, 0]
+    standoff = jnp.concatenate(
+        [standoff_q, jnp.full((b, 2), 0.04, qs.dtype)], axis=-1)
+    return reach, standoff, valid
