@@ -28,7 +28,13 @@ def get_derivative(
     """
     n = data.shape[-2]
     dmat = jnp.asarray(hp.diff_matrices[order - 1][: n + 1, :n])
-    out = jnp.matmul(dmat, data)
+    # one large [n+1, n] @ [n, B] matmul instead of B tiny batched
+    # [n+1, n] @ [n, m] dots (XLA:TPU pads the latter onto full MXU tiles;
+    # the learner's arc-length sweep has B ~ 10^4 of them per step)
+    moved = jnp.moveaxis(data, -2, 0)           # [n, ..., m]
+    out = (dmat @ moved.reshape(n, -1)).reshape(
+        (n + 1,) + moved.shape[1:])
+    out = jnp.moveaxis(out, 0, -2)              # [..., n+1, m]
     mid = DIFF_RULE_LENGTH // 2
     rule = DIFF_RULES[order - 1]
     dt = hp.time_interval ** order
