@@ -311,11 +311,17 @@ def collision_point_positions(model: PandaModel, poses: jnp.ndarray) -> jnp.ndar
     """Transform body points by link poses: [.., 10, 4, 4] -> [.., 10, P, 3].
 
     Equivalent of the reference's ``forward_points`` (``omg/cost.py:60-72``)
-    without the axis shuffling.
+    without the axis shuffling.  Written as three broadcast multiply-adds
+    instead of an einsum — the einsum form is a stack of [3,3]@[3,P] dots
+    that XLA:TPU pads onto full MXU tiles.
     """
-    r = poses[..., :3, :3]
+    pts = model.collision_points  # [10, P, 3]
+    r = poses[..., :3, :3]        # [..., 10, 3(a), 3(c)]
     t = poses[..., None, :3, 3]
-    return jnp.einsum("...jab,jpb->...jpa", r, model.collision_points) + t
+    x = sum(
+        r[..., c][..., :, None, :] * pts[..., c][:, :, None]
+        for c in range(3))        # [..., 10, P, 3]
+    return x + t
 
 
 def point_jacobians(
