@@ -31,7 +31,8 @@ from ..models import panda
 from ..utils.diff import get_derivative
 from ..utils.spline import multi_linear_interpolate
 from .chomp import CostParams, GoalSet
-from .sdf import SceneSDF, WorldPotential, sdf_potentials, world_potential_lookup
+from .sdf import (SceneSDF, WorldPotential, sdf_potentials,
+                  world_potential_lookup, world_potential_lookup_nearest)
 
 NUM_EXPERTS = 5
 _ETA_POWERS = (-2, -1, 0, 2, 4)  # reference online_learner.py:84
@@ -159,7 +160,10 @@ def cost_vector(
     x = panda.collision_point_positions(score_model, poses)  # [G*n,10,P,3]
     p = x.shape[2]
     if cfg.learner_world_potential and world_potential is not None:
-        pot = world_potential_lookup(world_potential, x.reshape(-1, 3))
+        lookup = (world_potential_lookup_nearest
+                  if cfg.learner_lookup == "nearest"
+                  else world_potential_lookup)
+        pot = lookup(world_potential, x.reshape(-1, 3))
     else:
         pot, _, _ = sdf_potentials(
             scene, params.inv_poses, x.reshape(-1, 3), params.epsilons,

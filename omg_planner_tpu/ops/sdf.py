@@ -380,6 +380,21 @@ def bake_world_potential(
         delta=jnp.asarray(resolution, jnp.float32))
 
 
+def world_potential_lookup_nearest(wp: WorldPotential, points: jnp.ndarray):
+    """Nearest-cell potential lookup: ONE gather per point (TPU random
+    gathers run ~130M/s and dominate the learner sweep; trilinear's 8
+    corners cost 8x).  Cell-center convention matches the reference's own
+    nearest-cell host lookup (``sdf_tools.py:47-64``)."""
+    dims = wp.data.shape
+    idx = jnp.floor((points - wp.origin) / wp.delta).astype(jnp.int32)
+    inb = jnp.all((idx >= 0)
+                  & (idx < jnp.asarray(dims, jnp.int32)[None, :]), axis=-1)
+    c = jnp.clip(idx, 0, jnp.asarray(dims, jnp.int32) - 1)
+    flat = wp.data.reshape(-1)
+    lin = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
+    return jnp.where(inb, jnp.take(flat, lin, axis=0), 0.0)
+
+
 def world_potential_lookup(wp: WorldPotential, points: jnp.ndarray):
     """Trilinear potential lookup, out-of-grid => 0. points [P,3] -> [P]."""
     dims = wp.data.shape
