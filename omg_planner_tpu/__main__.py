@@ -62,8 +62,8 @@ def _perception_plan(cfg, scene_id: int, n_obstacles: int):
         print("no grasps found for perception mode")
         return None
     import jax
-    hands = np.array(jax.vmap(
-        lambda q: panda.hand_pose(full.model, q))(
+    hands = np.array(jax.jit(jax.vmap(
+        lambda q: panda.hand_pose(full.model, q)))(
             jnp.asarray(grasp_configs, jnp.float32)))
 
     # observe the scene through the point-splat camera (partial view with

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..config import OMGConfig
 from ..models import panda
-from ..utils.pose import so3_log
+from ..utils.pose import so3_angle, so3_log
 
 
 class IKResult(NamedTuple):
@@ -144,8 +144,14 @@ def ik_batch(
     _, q, _ = jax.lax.while_loop(
         cond, body, (jnp.asarray(0), seeds, jnp.asarray(jnp.inf)))
     e, _ = _batch_error_and_jac(model, q, targets)
+    b = q.shape[0]
+    q9 = jnp.concatenate([q, jnp.full((b, 2), 0.04, q.dtype)], axis=1)
+    hand = panda.forward_kinematics_batch(
+        model, q9, apply_offset=False)[:, 7]
+    r_err = jnp.einsum("bij,bkj->bik", targets[:, :3, :3], hand[:, :3, :3])
     pos_err = jnp.linalg.norm(e[:, :3], axis=1)
-    rot_err = jnp.linalg.norm(e[:, 3:], axis=1)
+    # angle from the trace: robust where so3_log degenerates at pi
+    rot_err = so3_angle(r_err)
     ok = (pos_err < cfg.ik_pos_tol * 10) & (rot_err < cfg.ik_rot_tol * 10)
     return IKResult(q=q, success=ok, pos_err=pos_err, rot_err=rot_err)
 

@@ -26,15 +26,28 @@ from .sdf import SignedDensityField
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _min_dist_grid(points: jnp.ndarray, dims: tuple, origin: tuple,
                    delta: float) -> jnp.ndarray:
-    """[N, 3] points -> [dims] grid of nearest-point distances."""
+    """[N, 3] points -> [dims] grid of nearest-point distances.
+
+    On TPU this dispatches to the tiled Pallas kernel
+    (``ops/pallas_kernels.min_dist_grid``); elsewhere a chunked XLA
+    reduction keeps memory at O(chunk x N) instead of materializing the
+    full [G, N] distance matrix."""
+    from .pallas_kernels import HAVE_PALLAS, min_dist_grid, min_dist_grid_xla
+
     ax = [jnp.asarray(origin[i]) + jnp.arange(dims[i]) * delta
           for i in range(3)]
     gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
     grid = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # [G, 3]
-    g2 = jnp.sum(grid**2, axis=1, keepdims=True)            # [G, 1]
-    p2 = jnp.sum(points**2, axis=1)[None, :]                # [1, N]
-    d2 = g2 + p2 - 2.0 * (grid @ points.T)
-    return jnp.sqrt(jnp.maximum(d2.min(axis=1), 0.0)).reshape(dims)
+    if HAVE_PALLAS and jax.default_backend() not in ("cpu",):
+        return min_dist_grid(grid, points, use_pallas=True).reshape(dims)
+    g = grid.shape[0]
+    chunk = 16384
+    pad = (-g) % chunk
+    grid_p = jnp.concatenate([grid, jnp.zeros((pad, 3))], axis=0)
+    out = jax.lax.map(
+        lambda c: min_dist_grid_xla(c, points),
+        grid_p.reshape(-1, chunk, 3))
+    return out.reshape(-1)[:g].reshape(dims)
 
 
 def sdf_from_points(

@@ -133,13 +133,16 @@ def _plan_goal_sharded(model, cfg, problem: PlanProblem, axis: str):
         return (jax.lax.psum(grasp, axis), jax.lax.psum(tail, axis))
 
     mask_all = jax.lax.all_gather(problem.goal_set.mask, axis).reshape(-1)
+    grasps_all = jax.lax.all_gather(
+        problem.goal_set.grasps, axis).reshape(-1, 9)
+    learner_on = cfg.ol_alg not in ("Baseline", "Proj")
 
     def learner_full_update(state_g, traj, t):
         """MD/FTL/... update over the gathered (global) cost vector.
         ``state_g`` lives on the gathered goal dimension (replicated)."""
         cv = full_cost_vector(traj, t)
         gathered_gs = GoalSet(
-            grasps=jnp.zeros((cv.shape[0], 9)),
+            grasps=grasps_all,
             reach_grasps=jnp.zeros((cv.shape[0], cfg.reach_tail_length, 9)),
             mask=mask_all, potentials=jnp.zeros_like(cv))
         state_g = ol.update_goal_dist(cfg, state_g, cv, gathered_gs, traj[-1])
@@ -158,20 +161,28 @@ def _plan_goal_sharded(model, cfg, problem: PlanProblem, axis: str):
         q=jnp.ones(ol.NUM_EXPERTS) / ol.NUM_EXPERTS,
         t=jnp.asarray(0.0), ti=jnp.zeros(g_total))
 
-    cv0 = full_cost_vector(problem.traj_init, jnp.asarray(0.0))
-    goal_idx0 = jnp.argmin(cv0).astype(jnp.int32)
+    if learner_on:
+        cv0 = full_cost_vector(problem.traj_init, jnp.asarray(0.0))
+        goal_idx0 = jnp.argmin(cv0).astype(jnp.int32)
+    else:
+        # grasp_init policy: closest goal (planner.py:219-220)
+        d0 = jnp.where(mask_all,
+                       jnp.linalg.norm(grasps_all - problem.start[None],
+                                       axis=-1), jnp.inf)
+        goal_idx0 = jnp.argmin(d0).astype(jnp.int32)
     grasp0, _ = gather_goal(goal_idx0)
     from ..utils.spline import cubic_interpolate
     traj0 = cubic_interpolate(problem.start, grasp0, cfg.timesteps)
 
     def body(step, carry):
         traj, goal_idx, state, done = carry
-        state2, goal_idx2 = learner_full_update(state, traj, state.t + 1.0)
-        state2 = state2._replace(t=state.t + 1.0)
-        learn = (step < cfg.optim_steps) & (~done)
-        state = jax.tree.map(
-            lambda a, b: jnp.where(learn, b, a), state, state2)
-        goal_idx = jnp.where(learn, goal_idx2, goal_idx)
+        if learner_on:
+            state2, goal_idx2 = learner_full_update(state, traj, state.t + 1.0)
+            state2 = state2._replace(t=state.t + 1.0)
+            learn = (step < cfg.optim_steps) & (~done)
+            state = jax.tree.map(
+                lambda a, b: jnp.where(learn, b, a), state, state2)
+            goal_idx = jnp.where(learn, goal_idx2, goal_idx)
 
         grasp, tail = gather_goal(goal_idx)
         obstacle_w, smooth_w, _, step_size = schedule_weights(cfg, step + 1)

@@ -76,9 +76,9 @@ def _chosen_goal(cfg: OMGConfig, goal_set: GoalSet, goal_idx):
     return grasp, tail
 
 
-def _optimize_once(model, cfg, hp, problem: PlanProblem, traj, goal_idx, step):
-    """One CHOMP step (reference ``Optimizer.optimize``,
-    ``omg/optimizer.py:115-135``) with the pure cost schedule."""
+def _evaluate(model, cfg, hp, problem: PlanProblem, traj, goal_idx, step):
+    """Cost/gradient/termination evaluation at ``traj`` (the info part of
+    ``Optimizer.optimize``)."""
     obstacle_w, smooth_w, _, step_size = schedule_weights(cfg, step + 1)
     if cfg.goal_set_proj:
         goal, tail = _chosen_goal(cfg, problem.goal_set, goal_idx)
@@ -93,7 +93,14 @@ def _optimize_once(model, cfg, hp, problem: PlanProblem, traj, goal_idx, step):
     info = info._replace(
         violate_limit=over_limit,
         terminate=info.terminate & (~over_limit))
+    return info, grad, tail, step_size
 
+
+def _optimize_once(model, cfg, hp, problem: PlanProblem, traj, goal_idx, step):
+    """One CHOMP step (reference ``Optimizer.optimize``,
+    ``omg/optimizer.py:115-135``) with the pure cost schedule."""
+    info, grad, tail, step_size = _evaluate(
+        model, cfg, hp, problem, traj, goal_idx, step)
     if cfg.goal_set_proj:
         update = chomp.goal_set_projection_update(
             hp, cfg, traj, grad, tail, step_size)
@@ -103,6 +110,30 @@ def _optimize_once(model, cfg, hp, problem: PlanProblem, traj, goal_idx, step):
     new_traj = chomp.handle_joint_limit(
         hp, cfg, new_traj, problem.joint_lower, problem.joint_upper)
     return new_traj, info
+
+
+def _init_goal_idx(cfg, problem: PlanProblem):
+    """Recover the staged initial goal (``grasp_init``'s choice reaches
+    the jitted program via ``problem.end``; reference planner.py:201-223)."""
+    if not cfg.goal_set_proj:
+        return jnp.asarray(0, jnp.int32)
+    d = jnp.linalg.norm(problem.goal_set.grasps - problem.end[None], axis=-1)
+    d = jnp.where(problem.goal_set.mask, d, jnp.inf)
+    return jnp.argmin(d).astype(jnp.int32)
+
+
+def _final_info(model, cfg, hp, problem, carry):
+    """Reference appends an info-only evaluation of the final trajectory
+    when the loop ran out of steps (planner.py:633-636); the verdict comes
+    from that evaluation."""
+    def recompute(_):
+        return _evaluate(model, cfg, hp, problem, carry.traj,
+                         carry.goal_idx, carry.step)[0]
+
+    def keep(_):
+        return carry.last_info
+
+    return jax.lax.cond(carry.done, keep, recompute, None)
 
 
 def _learner_enabled(cfg: OMGConfig) -> bool:
@@ -117,7 +148,7 @@ def plan(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
 
     # --- learner init: pick the min-cost goal and respline
     # (reference Learner.__init__, online_learner.py:94-102)
-    goal_idx0 = jnp.asarray(0, jnp.int32)
+    goal_idx0 = _init_goal_idx(cfg, problem)
     traj0 = problem.traj_init
     learner0 = ol.init_learner_state(problem.goal_set)
     if _learner_enabled(cfg):
@@ -165,11 +196,11 @@ def plan(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
     carry, (history, info_hist, selected) = jax.lax.scan(
         scan_step, carry0, None, length=total)
 
-    flag = carry.last_info.terminate
+    info = _final_info(model, cfg, hp, problem, carry)
     return PlanResult(
-        traj=carry.traj, goal_idx=carry.goal_idx, info=carry.last_info,
+        traj=carry.traj, goal_idx=carry.goal_idx, info=info,
         info_history=info_hist, history=history, selected_goals=selected,
-        steps_used=carry.step, flag=flag)
+        steps_used=carry.step, flag=info.terminate)
 
 
 def plan_fast(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
@@ -179,7 +210,7 @@ def plan_fast(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
     hp = cfg.horizon()
     total = cfg.total_steps
 
-    goal_idx0 = jnp.asarray(0, jnp.int32)
+    goal_idx0 = _init_goal_idx(cfg, problem)
     traj0 = problem.traj_init
     learner0 = ol.init_learner_state(problem.goal_set)
     if _learner_enabled(cfg):
@@ -215,13 +246,13 @@ def plan_fast(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
     carry0 = _Carry(traj0, goal_idx0, learner0, jnp.asarray(0),
                     jnp.asarray(False), _dummy_info(cfg))
     carry = jax.lax.while_loop(cond, body, carry0)
-    t = cfg.timesteps
+    info = _final_info(model, cfg, hp, problem, carry)
     return PlanResult(
-        traj=carry.traj, goal_idx=carry.goal_idx, info=carry.last_info,
-        info_history=carry.last_info,
+        traj=carry.traj, goal_idx=carry.goal_idx, info=info,
+        info_history=info,
         history=carry.traj[None],
         selected_goals=carry.goal_idx[None],
-        steps_used=carry.step, flag=carry.last_info.terminate)
+        steps_used=carry.step, flag=info.terminate)
 
 
 def _dummy_info(cfg: OMGConfig) -> CostInfo:

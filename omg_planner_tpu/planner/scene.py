@@ -50,6 +50,10 @@ class Env:
     def remove_object(self, name: str):
         idx = self.names.index(name)
         del self.objects[idx]
+        if idx == self.target_idx:
+            self.target_idx = 0
+        elif idx < self.target_idx:
+            self.target_idx -= 1
         if self.target_idx >= len(self.objects):
             self.target_idx = 0
         self._scene_sdf = None
@@ -123,10 +127,16 @@ class Env:
                 clear[i] = cfg.target_clearance
                 eps[i] = cfg.target_epsilon
         if self.target.attached:
-            # placement: soften the support surface (cost.py:325-328)
-            clear[-1] = 0.0
-            eps[-1] = 0.05
-            pad[-1] = 0.5
+            # placement: soften the support surface (cost.py:325-328; the
+            # reference hard-codes "the last object is the table" — we
+            # soften objects named like supports, falling back to the last)
+            support = [i for i, o in enumerate(self.objects)
+                       if o.name.split("_")[0] in
+                       ("table", "shelf", "support", "floor")]
+            for i in support or [n - 1]:
+                clear[i] = 0.0
+                eps[i] = 0.05
+                pad[i] = 0.5
         return CostParams(
             inv_poses=jnp.asarray(inv_poses), epsilons=jnp.asarray(eps),
             padding_scales=jnp.asarray(pad), clearances=jnp.asarray(clear),
@@ -138,9 +148,11 @@ class Env:
         with z/y upsampling for placement/antipodal tilts."""
         t = self.target
         if t.attached:
-            # placement: single goal = inverse relative hand pose
-            # (planner.py:496-498)
-            poses = np.linalg.inv(t.rel_hand_pose)[None]
+            # placement: the hand pose in the object frame is
+            # inv(rel_hand_pose); composed with the object's (placement)
+            # pose exactly like grasp-DB poses (planner.py:496-498 +
+            # obj_coord=True composition at planner.py:319-321)
+            poses = t.pose_mat[None] @ np.linalg.inv(t.rel_hand_pose)[None]
         else:
             poses = t.pose_mat[None] @ t.grasps_poses
         return poses
@@ -162,6 +174,9 @@ class PointEnv(Env):
         self.objects = [obj]
         self.target_idx = 0
         self._scene_sdf = None
+
+
+_hand_pose_jit = jax.jit(panda.hand_pose)
 
 
 @functools.lru_cache(maxsize=64)
@@ -246,11 +261,20 @@ class PlanningScene:
             grasps=jnp.asarray(grasps), reach_grasps=jnp.asarray(tails),
             mask=jnp.asarray(mask), potentials=jnp.zeros(g))
 
+    def _sync_env_cfg(self):
+        """Env staging (cost_params, sdf baking) must see the session's
+        cfg — task-layer overrides (collision-disable lists, standoff mode)
+        replace ``self.cfg`` (the reference mutates one global instead)."""
+        if self.env.cfg is not self.cfg:
+            self.env.cfg = self.cfg
+            self.env._scene_sdf = None
+
     # -- staging ----------------------------------------------------------
     def build_goal_set(self) -> GoalSet:
         """Goal-set construction as ONE jitted device call (the reference
         pays process-pool pickling here; eager dispatch would pay a network
         round trip per op on remote TPU pools)."""
+        self._sync_env_cfg()
         cfg = self.cfg
         env = self.env
         t = env.target
@@ -278,6 +302,7 @@ class PlanningScene:
 
     def build_problem(self, goal_set: GoalSet | None = None
                       ) -> plan_mod.PlanProblem:
+        self._sync_env_cfg()
         cfg = self.cfg
         env = self.env
         start = jnp.asarray(self.start, jnp.float32)
@@ -389,7 +414,7 @@ class PlanningScene:
     # -- attachment API for pick-and-place (trial.py:68-185) --------------
     def attach_target(self, hand_q: np.ndarray):
         """Attach the target to the hand at configuration ``hand_q``."""
-        hand = np.array(panda.hand_pose(
+        hand = np.array(_hand_pose_jit(
             self.model, jnp.asarray(hand_q, jnp.float32)))
         t = self.env.target
         t.rel_hand_pose = np.linalg.inv(hand) @ t.pose_mat

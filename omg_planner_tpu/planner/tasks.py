@@ -127,16 +127,21 @@ def place_target(scene: PlanningScene, grasp_conf: np.ndarray,
         scene.model = scene.model._replace(collision_points=base_points)
         scene.cfg = base_cfg
 
-    if result is None or not bool(result.info.execute):
-        # placement failed: roll the object back (trial.py:123-131)
+    if result is None:
+        # no placement IK found: roll the object back (trial.py:123-131 —
+        # the reference's ONLY failure path; it returns best-effort
+        # trajectories without checking the verdict, because the start
+        # configuration holds the object in contact with its support and
+        # therefore always counts some collision points)
         t.update_pose(old_pose)
         scene.detach_target()
         scene.env._scene_sdf = None
         return result, old_pose
 
     # achieved object pose from the final hand pose
+    from .scene import _hand_pose_jit
     final_conf = result.traj[-1]
-    hand = np.array(panda.hand_pose(
+    hand = np.array(_hand_pose_jit(
         scene.model, jnp.asarray(final_conf, jnp.float32)))
     achieved = hand @ t.rel_hand_pose
     scene.detach_target()

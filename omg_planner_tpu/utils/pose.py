@@ -133,9 +133,13 @@ def rot_x(angle) -> jnp.ndarray:
 
 
 def so3_log(r: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix -> axis-angle vector (used by the damped-Newton IK)."""
-    cos_theta = jnp.clip((jnp.trace(r.swapaxes(-1, -2) @ r * 0 + r,
-                                    axis1=-2, axis2=-1) - 1) / 2, -1.0, 1.0)
+    """Rotation matrix -> axis-angle vector (used by the damped-Newton IK).
+
+    Degenerate at rotation angle exactly pi (the off-diagonal differences
+    vanish); IK success checks therefore use the rotation *angle* from the
+    trace (:func:`so3_angle`) rather than the norm of this vector."""
+    cos_theta = jnp.clip(
+        (jnp.trace(r, axis1=-2, axis2=-1) - 1) / 2, -1.0, 1.0)
     theta = jnp.arccos(cos_theta)
     w = jnp.stack(
         [r[..., 2, 1] - r[..., 1, 2],
@@ -144,6 +148,12 @@ def so3_log(r: jnp.ndarray) -> jnp.ndarray:
     # sin(theta) ~ theta near 0; scale = theta / (2 sin theta) -> 1/2
     scale = jnp.where(theta < 1e-6, 0.5, theta / (2.0 * jnp.sin(theta) + 1e-12))
     return w * scale[..., None]
+
+
+def so3_angle(r: jnp.ndarray) -> jnp.ndarray:
+    """Rotation angle in [0, pi] from the trace (robust at pi)."""
+    return jnp.arccos(jnp.clip(
+        (jnp.trace(r, axis1=-2, axis2=-1) - 1) / 2, -1.0, 1.0))
 
 
 def transform_points(mat: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
