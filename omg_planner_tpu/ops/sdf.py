@@ -73,7 +73,10 @@ class SignedDensityField:
         import torch  # local import: torch is host-only in this framework
 
         d = torch.load(path, map_location="cpu")
-        data = d["sdf_torch"].squeeze().numpy()
+        # the reference loader swaps the first two axes of the stored
+        # volume (sdf_tools.py:191: ``permute(1, 0, 2)``) — required for
+        # pose/limits consistency with its writer
+        data = d["sdf_torch"][0, 0].permute(1, 0, 2).numpy()
         origin = np.asarray(d["min_coords"], np.float64)
         delta = float(np.asarray(d["delta"]).reshape(-1)[0])
         return cls(data, origin, delta)

@@ -145,3 +145,47 @@ def test_precomputed_goal_scene():
     # the final configuration is one of the provided goals
     d = np.linalg.norm(res.traj[-1][None] - goals, axis=1)
     assert d.min() < 0.05
+
+
+def test_reference_format_loaders(tmp_path):
+    """Reference data-format compatibility: .sdf text, .pth, .mat."""
+    from omg_planner_tpu.ops.sdf import SignedDensityField
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=(4, 3, 2))
+    # .sdf text: x-fastest value order (sdf_tools.py:168-184)
+    lines = ["4 3 2", "-0.1 -0.2 -0.3", "0.05"]
+    for k in range(2):
+        for j in range(3):
+            for i in range(4):
+                lines.append(str(float(vals[i, j, k])))
+    p = tmp_path / "vol.sdf"
+    p.write_text("\n".join(lines) + "\n")
+    f = SignedDensityField.from_sdf_file(str(p))
+    np.testing.assert_allclose(f.data, vals, atol=1e-6)
+    assert f.delta == 0.05
+
+    # .pth: stored [1,1,X,Y,Z], loaded with the reference's (1,0,2) permute
+    import torch
+    vol = torch.from_numpy(rng.normal(size=(1, 1, 5, 4, 3)).astype(np.float32))
+    torch.save({"sdf_torch": vol,
+                "min_coords": torch.zeros(3),
+                "max_coords": torch.ones(3),
+                "delta": torch.tensor([0.01])}, tmp_path / "v.pth")
+    g = SignedDensityField.from_pth(str(tmp_path / "v.pth"))
+    np.testing.assert_allclose(
+        g.data, vol[0, 0].permute(1, 0, 2).numpy(), atol=1e-6)
+
+    # .mat scene files
+    import scipy.io as sio
+    from omg_planner_tpu.io.scene_io import load_mat_scene
+    sio.savemat(tmp_path / "s.mat", {
+        "pose": np.tile(np.eye(4), (2, 1, 1)),
+        "path": ["data/objects/mug ", "data/objects/table "],
+        "goals": np.zeros((3, 9)),
+        "target_name": "mug"})
+    d = load_mat_scene(str(tmp_path / "s.mat"))
+    assert d["target_name"] == "mug"
+    assert d["pose"].shape == (2, 4, 4)
+    assert [pp.strip() for pp in d["path"]] == [
+        "data/objects/mug", "data/objects/table"]
+    assert d["goals"].shape == (3, 9)
