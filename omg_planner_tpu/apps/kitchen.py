@@ -88,10 +88,15 @@ def run_script(scene: PlanningScene, steps, fast: bool = False):
                 results.append(("place", None, None))
                 continue
             dx, dy, dz = step[1][:3]
+            # optional 4th value: standoff placement (script grammar
+            # ``P dx,dy,dz,standoff``, panda_kitchen_scene.py:477-501)
+            standoff = bool(step[1][3]) if len(step[1]) > 3 else False
             place = scene.env.target.pose_mat.copy()
             place[:3, 3] += [dx, dy, dz]
             res, achieved = tasks.place_target(scene, conf, place,
-                                               target_name=held, fast=fast)
+                                               target_name=held,
+                                               apply_standoff=standoff,
+                                               fast=fast)
             if res is not None:
                 conf = res.traj[-1]
             held = None
