@@ -148,9 +148,30 @@ class OMGConfig:
     ik_pos_tol: float = 1e-4
     ik_rot_tol: float = 1e-3
     ik_damping: float = 1e-4
+    # two-stage goal-set IK (ops/ik.py::solve_goal_set): a fixed-iteration
+    # prefilter over all (grasp x seed) lanes, then a full-budget re-solve
+    # of only the `ik_survivor_cap` best-ranked lanes, warm-started.
+    # Lanes above `ik_prefilter_tol` post-prefilter error are inactive and
+    # can't drag the convergence exit to the full budget.
+    ik_two_stage: bool = True
+    ik_prefilter_iters: int = 12
+    ik_prefilter_tol: float = 0.05
+    ik_survivor_cap: int = 384
 
     def replace(self, **kw) -> "OMGConfig":
         return dataclasses.replace(self, **kw)
+
+    def jit_key(self) -> "OMGConfig":
+        """cfg with host-only fields canonicalized.
+
+        The reporting/IO fields below never reach a jitted program; keying
+        jit caches (and therefore the persistent compile cache) on this
+        canonical form means flipping ``silent``/``report_*``/paths cannot
+        recompile a multi-minute device program.  Every jit cache in the
+        framework keys on ``cfg.jit_key()``, and the jitted functions close
+        over the canonical cfg so the traced HLO is itself flag-invariant.
+        """
+        return dataclasses.replace(self, **HOST_ONLY_DEFAULTS)
 
     @property
     def total_steps(self) -> int:
@@ -176,6 +197,13 @@ class OMGConfig:
         """Pick horizon length from start-goal distance (core.py:64-75)."""
         n = int(np.linalg.norm(np.asarray(start) - np.asarray(end)) / self.traj_delta)
         return min(max(n, self.traj_min_step), self.traj_max_step)
+
+
+# Fields that never influence device computation (host-side reporting, IO
+# paths, and wall-clock policy).  See OMGConfig.jit_key.
+HOST_ONLY_DEFAULTS = dict(
+    silent=False, report_cost=False, report_time=False, scene_file="",
+    timeout=3.0, default_lazy=True)
 
 
 def get_diff_matrix(

@@ -180,6 +180,18 @@ _hand_pose_jit = jax.jit(panda.hand_pose)
 
 
 @functools.lru_cache(maxsize=64)
+def _plan_fn(cfg: OMGConfig, fast: bool):
+    """Jitted planner for a canonical cfg (pass ``cfg.jit_key()``).
+
+    Module-level so every PlanningScene with equivalent planner settings
+    shares one compiled program, and host-only flag flips
+    (silent/report_*/paths) can never trigger a recompile (the cache key
+    and the closed-over cfg are both the canonical form)."""
+    fn = plan_mod.plan_fast if fast else plan_mod.plan
+    return jax.jit(lambda model, problem: fn(model, cfg, problem))
+
+
+@functools.lru_cache(maxsize=64)
 def _bake_wp_fn(cfg: OMGConfig):
     def f(scene_sdf, params):
         return bake_world_potential(
@@ -229,16 +241,35 @@ class PlanningScene:
         # DB, e.g. detector outputs in perception mode
         # (reference ``load_goal_from_external``, ``omg/planner.py:176-186``)
         self.external_grasps: np.ndarray | None = None
-        self._plan_jit = {}
 
     @classmethod
-    def synthetic(cls, cfg: OMGConfig, scene_id: int = 0, **kw):
+    def _from_objects(cls, cfg: OMGConfig, objects, target):
         env = Env(cfg)
-        objects, target = synthetic_tabletop_scene(scene_id, **kw)
         for o in objects:
             env.add_object(o)
         env.set_target(target)
         return cls(cfg, env)
+
+    @classmethod
+    def synthetic(cls, cfg: OMGConfig, scene_id: int = 0, **kw):
+        objects, target = synthetic_tabletop_scene(scene_id, **kw)
+        return cls._from_objects(cfg, objects, target)
+
+    @classmethod
+    def hard(cls, cfg: OMGConfig, scene_id: int = 0, **kw):
+        """Difficulty-calibrated scene (clutter/shelf/far families with
+        settle-and-reject placement; see ``io/scene_gen.py``)."""
+        from ..io.scene_gen import synthetic_hard_scene
+        objects, target = synthetic_hard_scene(scene_id, **kw)
+        return cls._from_objects(cfg, objects, target)
+
+    @classmethod
+    def from_npz(cls, cfg: OMGConfig, path: str):
+        """Scene from a pinned ``.npz`` artifact (the committed benchmark
+        suite under ``data/suite_v2/``, or any exported scene)."""
+        from ..io.scene_io import load_npz_scene, objects_from_npz
+        objects, target = objects_from_npz(load_npz_scene(path))
+        return cls._from_objects(cfg, objects, target)
 
     def set_precomputed_goals(self, goals: np.ndarray,
                               reach_grasps: np.ndarray | None = None):
@@ -283,7 +314,7 @@ class PlanningScene:
         else:
             poses = env.grasp_poses_world()
         self.key, sub = jax.random.split(self.key)
-        fn = _goal_set_fn(cfg, bool(t.attached),
+        fn = _goal_set_fn(cfg.jit_key(), bool(t.attached),
                           bool(t.attached and cfg.z_upsample),
                           bool(cfg.y_upsample and not t.attached))
         t0 = time.time()
@@ -313,7 +344,7 @@ class PlanningScene:
                 goal_set = self._precomputed_goals
             if goal_set is None:
                 staged = getattr(self, "_staged", None)
-                key = (env.version, tuple(self.start), cfg)
+                key = (env.version, tuple(self.start), cfg.jit_key())
                 if staged is not None and staged[0] == key:
                     goal_set = staged[1]
                 else:
@@ -354,23 +385,17 @@ class PlanningScene:
                 data=jnp.zeros((2, 2, 2)),
                 origin=jnp.zeros(3), delta=jnp.asarray(1.0))
         cached = getattr(self, "_wp_cache", None)
-        wp_key = (self.env.version, cfg)
+        wp_key = (self.env.version, cfg.jit_key())
         if cached is not None and cached[0] == wp_key:
             return cached[1]
         params = self.env.cost_params()
-        wp = _bake_wp_fn(cfg)(self.env.scene_sdf(), params)
+        wp = _bake_wp_fn(cfg.jit_key())(self.env.scene_sdf(), params)
         self._wp_cache = (wp_key, wp)
         return wp
 
     # -- planning ---------------------------------------------------------
     def _get_plan_fn(self, fast: bool):
-        k = (fast, self.cfg)
-        if k not in self._plan_jit:
-            fn = plan_mod.plan_fast if fast else plan_mod.plan
-            cfg = self.cfg
-            self._plan_jit[k] = jax.jit(
-                lambda model, problem: fn(model, cfg, problem))
-        return self._plan_jit[k]
+        return _plan_fn(self.cfg.jit_key(), fast)
 
     def step(self, fast: bool = False) -> plan_mod.PlanResult:
         """One full plan (reference ``PlanningScene.step``,

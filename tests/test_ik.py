@@ -67,8 +67,38 @@ def test_solve_goal_set_batch():
     ], jnp.float32)
     grasps = jax.vmap(lambda q: panda.hand_pose(model, q))(qs)
     seeds = jnp.stack([qs[0, :7], qs[1, :7]])
-    reach, standoff, valid = ik.solve_goal_set(
+    reach, standoff, valid, lane_idx = ik.solve_goal_set(
         model, cfg, grasps, seeds, lo[:7], hi[:7])
     assert reach.shape == (4, cfg.reach_tail_length, 9)
     assert standoff.shape == (4, 9)
     assert np.array(valid).sum() >= 2
+    # lane indices map back to the original (grasp-major) layout
+    assert set(np.array(lane_idx).tolist()) == {0, 1, 2, 3}
+
+
+def test_two_stage_matches_single_stage_validity():
+    """The compacted two-stage solve must find the same valid goals as the
+    exhaustive solve (quality guard for VERDICT r1 item 2)."""
+    model = panda.load_panda()
+    lo, hi = model.soft_limits(OMGConfig().soft_joint_limit_padding)
+    rng = np.random.default_rng(3)
+    qs = []
+    for _ in range(6):
+        q7 = rng.uniform(np.array(lo[:7]) * 0.5, np.array(hi[:7]) * 0.5)
+        qs.append(np.concatenate([q7, [0.04, 0.04]]))
+    qs = jnp.asarray(np.stack(qs), jnp.float32)
+    grasps = jax.vmap(lambda q: panda.hand_pose(model, q))(qs)
+    seeds = qs[:3, :7]
+
+    cfg1 = OMGConfig(ik_two_stage=False)
+    cfg2 = OMGConfig(ik_two_stage=True)
+    r1 = ik.solve_goal_set(model, cfg1, grasps, seeds, lo[:7], hi[:7])
+    r2 = ik.solve_goal_set(model, cfg2, grasps, seeds, lo[:7], hi[:7])
+    # same lane count here (cap > B), so compare per-lane validity after
+    # un-permuting the compacted layout
+    v1 = np.array(r1[2])
+    v2 = np.zeros_like(v1)
+    v2[np.array(r2[3])] = np.array(r2[2])
+    # two-stage may legitimately drop a lane whose prefilter stalls, but on
+    # these easy reachable targets the sets must agree
+    np.testing.assert_array_equal(v1, v2)
