@@ -135,6 +135,24 @@ def cost_vector(
     world_potential: WorldPotential | None = None,
 ) -> jnp.ndarray:
     """Goal-candidate objective estimates [G] (reference ``:104-160``)."""
+    raw = cost_vector_raw(model, scene, params, cfg, hp, traj, goal_set, t,
+                          world_potential)
+    return finalize_cost_vector(cfg, raw, goal_set.mask)
+
+
+def cost_vector_raw(
+    model: panda.PandaModel,
+    scene: SceneSDF,
+    params: CostParams,
+    cfg: OMGConfig,
+    hp: HorizonParams,
+    traj: jnp.ndarray,
+    goal_set: GoalSet,
+    t: jnp.ndarray,
+    world_potential: WorldPotential | None = None,
+) -> jnp.ndarray:
+    """Unnormalized masked candidate potentials [G] (invalid goals -> 0);
+    see :func:`finalize_cost_vector`."""
     clamp = 1
     start_idx = jnp.minimum(
         clamp + (t / cfg.optim_steps * cfg.timesteps).astype(jnp.int32) - 1,
@@ -192,12 +210,22 @@ def cost_vector(
     if cfg.grasp_optimize:
         # grasp-quality term baked into goal_set.potentials at build time
         potentials = potentials + goal_set.potentials
-    potentials = jnp.where(goal_set.mask, potentials, 0.0)
+    return jnp.where(goal_set.mask, potentials, 0.0)
+
+
+def finalize_cost_vector(cfg: OMGConfig, potentials: jnp.ndarray,
+                         mask: jnp.ndarray) -> jnp.ndarray:
+    """Normalization + invalid-goal masking of the raw candidate potentials.
+
+    Split from :func:`cost_vector` so a goal-sharded caller can compute the
+    raw potentials on its local shard, ``all_gather``, and apply the (global)
+    normalization here — a shard-local normalization would use the wrong
+    norm (``parallel/batch.py``)."""
     if cfg.normalize_cost:
         potentials = potentials / jnp.maximum(
             jnp.linalg.norm(potentials), 1e-12)
     # invalid goals get a huge cost so no algorithm selects them
-    return jnp.where(goal_set.mask, potentials, 1e6)
+    return jnp.where(mask, potentials, 1e6)
 
 
 def _etas(cfg: OMGConfig, n_valid):
@@ -283,9 +311,14 @@ def update_goal(
     goal_set: GoalSet,
     state: LearnerState,
     world_potential: WorldPotential | None = None,
+    cv_fn=None,
 ):
     """Advance the learner one step and pick argmax goal
     (reference ``update_goal``, ``:237-249``).
+
+    ``cv_fn(traj, t) -> [G]`` overrides the candidate-cost evaluation — the
+    goal-sharded planner injects a shard-local sweep + ``all_gather`` here
+    so single-chip and sharded paths share this loop (``parallel/batch.py``).
 
     Returns (new_state, goal_idx).
     """
@@ -295,8 +328,9 @@ def update_goal(
         state = update_goal_dist(cfg, state, jnp.zeros(goal_set.capacity),
                                  goal_set, traj[-1])
     else:
-        cv = cost_vector(model, scene, params, cfg, hp, traj, goal_set, t,
-                         world_potential)
+        cv = (cv_fn(traj, t) if cv_fn is not None else
+              cost_vector(model, scene, params, cfg, hp, traj, goal_set, t,
+                          world_potential))
         state = update_goal_dist(cfg, state, cv, goal_set, traj[-1])
     goal_idx = jnp.argmax(jnp.where(goal_set.mask, state.p, -jnp.inf))
     state = state._replace(ti=state.ti.at[goal_idx].add(1.0))

@@ -189,18 +189,26 @@ def build_goal_set(
     start: jnp.ndarray,              # [9]
     key: jax.Array,
     attached: bool = False,
+    solve_fn=None,
 ) -> GoalSet:
     """Full goal-set construction for one target object (jittable with cfg
-    static).  Capacity = ``cfg.goal_set_max_num``."""
+    static).  Capacity = ``cfg.goal_set_max_num``.
+
+    ``solve_fn`` (signature of :func:`ik_ops.solve_goal_set`) overrides the
+    IK sweep — the mesh-sharded pipeline injects a wrapper that solves a
+    shard of the grasp lanes locally and all_gathers the survivors
+    (``parallel/batch.py``); every downstream stage (augment / filter /
+    prune / dedupe / sample) treats lanes as an unordered bag, so it runs
+    replicated on the gathered result unchanged."""
     lo, hi = model.soft_limits(cfg.soft_joint_limit_padding)
     seeds = jnp.concatenate([
         start[None, :7],
         jnp.asarray(ANCHOR_SEEDS[: cfg.ik_seed_num, :7], start.dtype)])
+    solve = solve_fn if solve_fn is not None else ik_ops.solve_goal_set
 
-    reach, standoff, valid = ik_ops.solve_goal_set(
-        model, cfg, grasp_poses_world, seeds, lo[:7], hi[:7], attached)
-    s = seeds.shape[0]
-    valid = valid & jnp.repeat(grasp_valid, s)
+    reach, standoff, valid, _ = solve(
+        model, cfg, grasp_poses_world, seeds, lo[:7], hi[:7], attached,
+        grasp_valid=grasp_valid)
 
     if cfg.increment_iks:
         # second pass reseeded from found solutions (reference
@@ -212,9 +220,9 @@ def build_goal_set(
         top = jax.lax.top_k(scores, 10)
         extra = jnp.where(jnp.isfinite(top[0])[:, None],
                           standoff[top[1], :7], seeds[0][None])
-        reach2, standoff2, valid2 = ik_ops.solve_goal_set(
-            model, cfg, grasp_poses_world, extra, lo[:7], hi[:7], attached)
-        valid2 = valid2 & jnp.repeat(grasp_valid, extra.shape[0])
+        reach2, standoff2, valid2, _ = solve(
+            model, cfg, grasp_poses_world, extra, lo[:7], hi[:7], attached,
+            grasp_valid=grasp_valid)
         reach = jnp.concatenate([reach, reach2])
         standoff = jnp.concatenate([standoff, standoff2])
         valid = jnp.concatenate([valid, valid2])

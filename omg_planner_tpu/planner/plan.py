@@ -140,24 +140,34 @@ def _learner_enabled(cfg: OMGConfig) -> bool:
     return cfg.goal_set_proj and cfg.ol_alg not in ("Baseline", "Proj")
 
 
-def plan(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
-         ) -> PlanResult:
-    """Full OMG plan with history (jit with cfg static)."""
-    hp = cfg.horizon()
-    total = cfg.total_steps
-
-    # --- learner init: pick the min-cost goal and respline
-    # (reference Learner.__init__, online_learner.py:94-102)
+def _learner_init(model, cfg, hp, problem: PlanProblem, cv_fn):
+    """Initial goal choice + respline (reference Learner.__init__,
+    online_learner.py:94-102); shared by both loop variants."""
     goal_idx0 = _init_goal_idx(cfg, problem)
     traj0 = problem.traj_init
     learner0 = ol.init_learner_state(problem.goal_set)
     if _learner_enabled(cfg):
-        cv0 = ol.cost_vector(model, problem.scene, problem.cost_params, cfg,
-                             hp, traj0, problem.goal_set, jnp.asarray(0.0),
-                             problem.world_potential)
+        cv0 = (cv_fn(traj0, jnp.asarray(0.0)) if cv_fn is not None else
+               ol.cost_vector(model, problem.scene, problem.cost_params, cfg,
+                              hp, traj0, problem.goal_set, jnp.asarray(0.0),
+                              problem.world_potential))
         goal_idx0 = jnp.argmin(cv0).astype(jnp.int32)
         traj0 = cubic_interpolate(
             problem.start, problem.goal_set.grasps[goal_idx0], cfg.timesteps)
+    return traj0, goal_idx0, learner0
+
+
+def plan(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
+         cv_fn=None) -> PlanResult:
+    """Full OMG plan with history (jit with cfg static).
+
+    ``cv_fn(traj, t) -> [G]`` optionally overrides candidate-cost evaluation
+    (the goal-sharded path injects local-sweep + all_gather; see
+    ``parallel/batch.py`` — both paths share THIS loop)."""
+    hp = cfg.horizon()
+    total = cfg.total_steps
+
+    traj0, goal_idx0, learner0 = _learner_init(model, cfg, hp, problem, cv_fn)
 
     def scan_step(carry: _Carry, _):
         traj, goal_idx, lstate = carry.traj, carry.goal_idx, carry.learner
@@ -166,7 +176,8 @@ def plan(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
             do_learn = (carry.step < cfg.optim_steps) & (~carry.done)
             new_lstate, new_goal = ol.update_goal(
                 model, problem.scene, problem.cost_params, cfg, hp, traj,
-                problem.goal_set, lstate, problem.world_potential)
+                problem.goal_set, lstate, problem.world_potential,
+                cv_fn=cv_fn)
             lstate = jax.tree.map(
                 lambda a, b: jnp.where(do_learn, b, a), lstate, new_lstate)
             goal_idx = jnp.where(do_learn, new_goal.astype(jnp.int32),
@@ -204,22 +215,13 @@ def plan(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
 
 
 def plan_fast(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
-              ) -> PlanResult:
+              cv_fn=None) -> PlanResult:
     """History-free plan via ``lax.while_loop`` — early termination actually
-    skips work (the benchmark path)."""
+    skips work (the benchmark path).  ``cv_fn`` as in :func:`plan`."""
     hp = cfg.horizon()
     total = cfg.total_steps
 
-    goal_idx0 = _init_goal_idx(cfg, problem)
-    traj0 = problem.traj_init
-    learner0 = ol.init_learner_state(problem.goal_set)
-    if _learner_enabled(cfg):
-        cv0 = ol.cost_vector(model, problem.scene, problem.cost_params, cfg,
-                             hp, traj0, problem.goal_set, jnp.asarray(0.0),
-                             problem.world_potential)
-        goal_idx0 = jnp.argmin(cv0).astype(jnp.int32)
-        traj0 = cubic_interpolate(
-            problem.start, problem.goal_set.grasps[goal_idx0], cfg.timesteps)
+    traj0, goal_idx0, learner0 = _learner_init(model, cfg, hp, problem, cv_fn)
 
     def cond(carry: _Carry):
         return (~carry.done) & (carry.step < total)
@@ -230,7 +232,8 @@ def plan_fast(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
             do_learn = carry.step < cfg.optim_steps
             new_lstate, new_goal = ol.update_goal(
                 model, problem.scene, problem.cost_params, cfg, hp, traj,
-                problem.goal_set, lstate, problem.world_potential)
+                problem.goal_set, lstate, problem.world_potential,
+                cv_fn=cv_fn)
             lstate = jax.tree.map(
                 lambda a, b: jnp.where(do_learn, b, a), lstate, new_lstate)
             goal_idx = jnp.where(do_learn, new_goal.astype(jnp.int32),

@@ -35,10 +35,14 @@ def test_plan_batch_vmap():
     np.testing.assert_allclose(t[0], t[1], atol=1e-6)
 
 
-def test_sharded_plan_matches_shapes():
+def test_sharded_plan_matches_single_chip():
+    """The goal-sharded plan is the SAME loop as plan_fast with a gathered
+    cost vector — trajectories must agree to float tolerance (VERDICT r1
+    item 3)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     from jax.sharding import Mesh
+    from omg_planner_tpu.planner.plan import plan_fast
 
     cfg = _cfg()
     model, problems = _problems(cfg, 4)
@@ -46,11 +50,18 @@ def test_sharded_plan_matches_shapes():
                 ("scene", "goal"))
     fn = make_sharded_plan(mesh, model, cfg)
     stacked = stack_problems(problems)
-    trajs, goal_idx, done = jax.tree.map(np.asarray, fn(stacked))
+    res = fn(stacked)
+    trajs = np.asarray(res.traj)
     assert trajs.shape == (4, cfg.timesteps, 9)
     assert np.isfinite(trajs).all()
     # all scene shards solved the identical problem -> identical outputs
     np.testing.assert_allclose(trajs[0], trajs[-1], atol=1e-5)
+
+    ref = jax.jit(lambda p: plan_fast(model, cfg, p))(problems[0])
+    np.testing.assert_allclose(trajs[0], np.asarray(ref.traj), atol=1e-5)
+    assert int(res.goal_idx[0]) == int(ref.goal_idx)
+    assert int(res.steps_used[0]) == int(ref.steps_used)
+    assert bool(res.flag[0]) == bool(ref.flag)
 
 
 def test_pad_objects_disables_dummies():
