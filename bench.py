@@ -94,7 +94,7 @@ def main():
     log(f"[bench] setup done in {setup_time:.1f}s; compiling plan batch...")
     # warmup / compile
     t0 = time.time()
-    res = plan_batch_jit(model, cfg, problems)
+    res = plan_batch_jit(model, cfg.jit_key(), problems)
     jax.block_until_ready(res.traj)
     compile_time = time.time() - t0
 
@@ -102,7 +102,7 @@ def main():
     times = []
     for _ in range(args.reps):
         t0 = time.time()
-        res = plan_batch_jit(model, cfg, problems)
+        res = plan_batch_jit(model, cfg.jit_key(), problems)
         jax.block_until_ready(res.traj)
         times.append(time.time() - t0)
     best = min(times)

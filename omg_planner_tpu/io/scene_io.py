@@ -41,16 +41,18 @@ def save_npz_scene(path: str, objects, target_name: str,
                    reach_grasps: Optional[np.ndarray] = None):
     """Persist a primitive scene: object kinds/extents/poses + optional
     precomputed goal sets."""
-    kinds, extents, poses, names = [], [], [], []
+    kinds, extents, poses, names, deltas = [], [], [], [], []
     for o in objects:
         kinds.append(getattr(o, "kind", "box"))
         extents.append(np.resize(np.asarray(o.extents, np.float64), 3)
                        if o.extents is not None else np.zeros(3))
         poses.append(o.pose_mat)
         names.append(o.name)
+        deltas.append(o.sdf.delta)
     data = dict(
         kinds=np.array(kinds), extents=np.array(extents),
         poses=np.array(poses), names=np.array(names),
+        deltas=np.array(deltas),
         target_name=np.array(target_name))
     if goals is not None:
         data["goals"] = goals
@@ -63,6 +65,25 @@ def load_npz_scene(path: str) -> dict:
     d = dict(np.load(path, allow_pickle=True))
     d["target_name"] = str(d["target_name"])
     return d
+
+
+def objects_from_npz(d: dict):
+    """Rebuild primitive SceneObjects from a loaded scene dict.
+
+    Returns (objects, target_name); only the target gets a grasp DB.
+    """
+    from .assets import make_primitive
+
+    objects = []
+    deltas = d.get("deltas")
+    for i, (kind, ext, pose, nm) in enumerate(
+            zip(d["kinds"], d["extents"], d["poses"], d["names"])):
+        is_target = str(nm) == d["target_name"]
+        kw = {"delta": float(deltas[i])} if deltas is not None else {}
+        objects.append(make_primitive(
+            str(nm), str(kind), np.trim_zeros(np.asarray(ext), "b"),
+            pose, target=is_target, compute_grasp=is_target, **kw))
+    return objects, d["target_name"]
 
 
 def save_result_shard(path: str, scene_id: int, traj: np.ndarray,

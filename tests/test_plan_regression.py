@@ -6,7 +6,11 @@ import pytest
 from omg_planner_tpu.config import OMGConfig
 from omg_planner_tpu.planner.scene import PlanningScene
 
-CFG = OMGConfig(optim_steps=8, extra_smooth_steps=3, goal_set_max_num=8,
+# goal_set_max_num 12 (not 8): the two-stage IK lane compaction reorders
+# lanes, and with only 8 sampled goals the gumbel draw on this scene can
+# land on a single marginal goal; 12 keeps the test about the planner, not
+# sampling luck
+CFG = OMGConfig(optim_steps=8, extra_smooth_steps=3, goal_set_max_num=12,
                 ik_seed_num=3, ik_max_iters=30, learner_interp_steps=8,
                 silent=True)
 
