@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import DIFF_RULES, DIFF_RULE_LENGTH, HorizonParams, OMGConfig
 from ..models import panda
 from ..utils.diff import get_derivative
-from .sdf import SceneSDF, sdf_potentials
+from .sdf import SceneSDF, WorldField, sdf_potentials, world_field_query
 
 
 class CostParams(NamedTuple):
@@ -120,9 +120,15 @@ def forward_kinematics_obstacle(
     xi: jnp.ndarray,
     start: jnp.ndarray,
     end: jnp.ndarray,
+    world_field: WorldField | None = None,
 ):
     """FK + SDF + derivatives for the whole trajectory
     (``omg/cost.py:112-190``), one fused device computation.
+
+    With ``world_field`` (cfg.sdf_fused), the per-object stencil is
+    replaced by one 5-channel trilinear query of the scene-fused field —
+    ``O x`` fewer random gathers on the latency-bound TPU gather pipeline
+    (see :class:`~.sdf.WorldField`).
 
     Returns (x, v, a_ws, jac, potentials, grads, collide_count) with
     x/v/a_ws: [T, 10, P, 3]; jac: [T, 10, P, 9, 3]; potentials: [T, 10, P].
@@ -133,9 +139,12 @@ def forward_kinematics_obstacle(
     p = x.shape[2]
 
     pts_flat = x.reshape(-1, 3)
-    pot, grad, collide = sdf_potentials(
-        scene, params.inv_poses, pts_flat, params.epsilons,
-        params.padding_scales, params.clearances, params.disables)
+    if world_field is not None:
+        pot, grad, collide = world_field_query(world_field, pts_flat)
+    else:
+        pot, grad, collide = sdf_potentials(
+            scene, params.inv_poses, pts_flat, params.epsilons,
+            params.padding_scales, params.clearances, params.disables)
     pot = pot.reshape(t_dim, panda.NUM_LINKS, p)
     grad = grad.reshape(t_dim, panda.NUM_LINKS, p, 3)
     collide = collide.reshape(t_dim, panda.NUM_LINKS, p)
@@ -193,6 +202,7 @@ def compute_collision_loss(
     xi: jnp.ndarray,
     start: jnp.ndarray,
     end: jnp.ndarray,
+    world_field: WorldField | None = None,
 ):
     """Obstacle loss + config-space gradient (``omg/cost.py:362-423``).
 
@@ -203,7 +213,7 @@ def compute_collision_loss(
     """
     t_dim = xi.shape[0]
     x, v, a_ws, jac, pot, grad, collide = forward_kinematics_obstacle(
-        model, scene, params, cfg, hp, xi, start, end)
+        model, scene, params, cfg, hp, xi, start, end, world_field)
     p = pot.shape[-1]
 
     cost_pt, direction = _functional_grad_terms(v, a_ws, pot, grad)
@@ -241,11 +251,12 @@ def compute_total_loss(
     goal: jnp.ndarray,          # [9] termination target (goal_set[goal_idx])
     obstacle_weight,
     smoothness_weight,
+    world_field: WorldField | None = None,
 ):
     """Total cost/gradient/termination info (``omg/cost.py:451-532``)."""
     s_loss, s_grad = smooth_loss(hp, cfg, xi, start, end)
     o_cost, o_grad, collide = compute_collision_loss(
-        model, scene, params, cfg, hp, xi, start, end)
+        model, scene, params, cfg, hp, xi, start, end, world_field)
 
     s_sum = s_loss.sum()
     o_sum = o_cost.sum()

@@ -72,7 +72,9 @@ class SignedDensityField:
         written by ``real_world/convert_sdf.py:66-78``)."""
         import torch  # local import: torch is host-only in this framework
 
-        d = torch.load(path, map_location="cpu")
+        # weights_only=False: the reference layout stores numpy scalars
+        # alongside the tensor (convert_sdf.py:66-78)
+        d = torch.load(path, map_location="cpu", weights_only=False)
         # the reference loader swaps the first two axes of the stored
         # volume (sdf_tools.py:191: ``permute(1, 0, 2)``) — required for
         # pose/limits consistency with its writer
@@ -248,8 +250,11 @@ class BakedSceneSDF(NamedTuple):
         return self.data4.shape[0]
 
 
-def bake_scene(scene: SceneSDF) -> BakedSceneSDF:
-    """One-time per-scene bake (device-side, elementwise)."""
+def bake_scene(scene) -> BakedSceneSDF:
+    """One-time per-scene bake (device-side, elementwise). Idempotent:
+    an already-baked scene passes through unchanged."""
+    if isinstance(scene, BakedSceneSDF):
+        return scene
     v = scene.data  # [O, X, Y, Z]
     delta = scene.limits[:, 9][:, None, None, None]
 
@@ -347,6 +352,145 @@ class WorldPotential(NamedTuple):
 
 # default workspace bounds for the Panda at the origin (meters)
 WORLD_BOUNDS = (np.array([-0.4, -0.9, -0.15]), np.array([1.1, 0.9, 1.25]))
+
+
+class WorldField(NamedTuple):
+    """Scene-fused 5-channel field on a world-frame grid: the fast CHOMP
+    collision backend (``cfg.sdf_fused``).
+
+    ``data5[x, y, z] = [pot, gx, gy, gz, mindist]`` where pot/g are the
+    hinge potential and its world-frame gradient summed over enabled
+    objects, and mindist is ``min_o (value_o - clearance_o)`` (so
+    ``mindist < 0`` reproduces the per-point collide flag for
+    non-overlapping objects).  Rationale: the exact per-object query costs
+    ``P x O x 8`` random gathers and TPU gathers are latency-bound at
+    ~150 M/s regardless of payload width (measured, v5e) — one fused
+    volume cuts the hot-loop gather count by ``O x`` and the 5 channels
+    ride along free.  The scene is static within a plan, so the bake
+    amortizes over every step; it is keyed on env.version+cfg like the
+    learner's :class:`WorldPotential`.
+
+    Deviations vs the exact query (``kernel.cu:96-262`` semantics) are the
+    bake resolution and single-counting of points inside multiple objects;
+    ``sdf_fused=False`` restores exact numerics.
+    """
+
+    data5: jnp.ndarray   # [X, Y, Z, 5]
+    origin: jnp.ndarray  # [3]
+    delta: jnp.ndarray   # scalar
+
+
+def bake_world_field(
+    scene: "BakedSceneSDF",
+    inv_poses: jnp.ndarray,
+    epsilons: jnp.ndarray,
+    padding_scales: jnp.ndarray,
+    clearances: jnp.ndarray,
+    disables: jnp.ndarray,
+    resolution: float = 0.01,
+    bounds=WORLD_BOUNDS,
+    chunk: int = 131072,
+) -> WorldField:
+    """Bake the fused field with NEAREST-cell reads of the baked per-object
+    stack (1 gather per cell x object instead of the query's 8x4-channel
+    stencil — the bake grid is finer than the query stencil needs).
+    Device-side, once per (scene, cost-params) version."""
+    o = scene.num_objects
+    lo, hi = bounds
+    dims = tuple(int(np.ceil((hi[i] - lo[i]) / resolution)) for i in range(3))
+    ax = [lo[i] + (jnp.arange(dims[i]) + 0.5) * resolution for i in range(3)]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    cells = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    n = cells.shape[0]
+    pad = (-n) % chunk
+    cells = jnp.concatenate([cells, jnp.zeros((pad, 3))], axis=0)
+
+    vdims = scene.data4.shape[1:4]
+    vcells = int(np.prod(vdims))
+    flat_all = scene.data4.reshape(o * vcells, 4)
+    r = inv_poses[:, :3, :3]
+    t = inv_poses[:, :3, 3]
+    obj_off = (jnp.arange(o, dtype=jnp.int32) * vcells)[:, None]
+    d_i32 = scene.limits[:, 6:9].astype(jnp.int32)
+    mn = scene.limits[:, 0:3]
+    mx = scene.limits[:, 3:6]
+    keep = (disables <= 0)
+
+    def body(c):  # c: [chunk, 3] world points
+        pts_obj = jnp.einsum("oab,pb->opa", r, c) + t[:, None, :]
+        pg = ((pts_obj - mn[:, None, :]) / (mx - mn)[:, None, :]
+              * d_i32[:, None, :].astype(c.dtype))
+        idx = jnp.floor(pg).astype(jnp.int32)
+        inb = jnp.all((idx >= 0) & (idx < d_i32[:, None, :]), axis=-1)
+        ic = jnp.clip(idx, 0, d_i32[:, None, :] - 1)
+        lin = ((ic[..., 0] * d_i32[:, None, 1] + ic[..., 1])
+               * d_i32[:, None, 2] + ic[..., 2]) + obj_off  # [O, chunk]
+        v4 = jnp.take(flat_all, lin.reshape(-1), axis=0).reshape(
+            o, -1, 4)
+        value = jnp.where(inb, v4[..., 0], 1.0)
+        g_obj = jnp.where(inb[..., None], v4[..., 1:], 0.0)
+
+        eps = epsilons[:, None]
+        padm = padding_scales[:, None]
+        inside = value <= 0
+        band = (value > 0) & (value <= eps)
+        pot = jnp.where(inside, -value + 0.5 * eps, 0.0)
+        pot = jnp.where(band, (value - eps) ** 2 / (2 * eps) * padm, pot)
+        gscale = jnp.where(inside, -1.0,
+                           jnp.where(band, (value - eps) / eps * padm, 0.0))
+        g_world = jnp.einsum("oba,opb->opa", r, g_obj * gscale[..., None])
+        km = keep[:, None]
+        pot_sum = jnp.where(km, pot, 0.0).sum(0)
+        grad_sum = jnp.where(km[..., None], g_world, 0.0).sum(0)
+        mind = jnp.where(km, value - clearances[:, None], jnp.inf).min(0)
+        mind = jnp.minimum(mind, 1e3)  # finite when all objects disabled
+        return jnp.concatenate(
+            [pot_sum[:, None], grad_sum, mind[:, None]], axis=-1)
+
+    out = jax.lax.map(body, cells.reshape(-1, chunk, 3))
+    data5 = out.reshape(-1, 5)[:n].reshape(*dims, 5)
+    return WorldField(
+        data5=data5, origin=jnp.asarray(lo, jnp.float32),
+        delta=jnp.asarray(resolution, jnp.float32))
+
+
+def world_field_query(wf: WorldField, points: jnp.ndarray):
+    """Trilinear 5-channel query: (pot [P], grad [P, 3], collide [P]).
+
+    Out-of-grid points are free space (pot 0, grad 0, no collision) — the
+    grid covers the reachable workspace plus the epsilon band.
+    """
+    dims = wf.data5.shape[:3]
+    pg = (points - wf.origin) / wf.delta - 0.5
+    c0 = jnp.floor(pg).astype(jnp.int32)
+    f = pg - c0
+    x0, y0, z0 = c0[..., 0], c0[..., 1], c0[..., 2]
+    fx = f[..., 0:1]
+    fy = f[..., 1:2]
+    fz = f[..., 2:3]
+    inb = ((x0 >= 0) & (x0 + 1 < dims[0]) & (y0 >= 0) & (y0 + 1 < dims[1])
+           & (z0 >= 0) & (z0 + 1 < dims[2]))
+    x0c = jnp.clip(x0, 0, dims[0] - 2)
+    y0c = jnp.clip(y0, 0, dims[1] - 2)
+    z0c = jnp.clip(z0, 0, dims[2] - 2)
+    flat = wf.data5.reshape(-1, 5)
+    base = (x0c * dims[1] + y0c) * dims[2] + z0c
+
+    def val(dx, dy, dz):
+        return jnp.take(flat, base + (dx * dims[1] + dy) * dims[2] + dz,
+                        axis=0)
+
+    dx00 = val(0, 0, 0) * (1 - fx) + val(1, 0, 0) * fx
+    dx01 = val(0, 0, 1) * (1 - fx) + val(1, 0, 1) * fx
+    dx10 = val(0, 1, 0) * (1 - fx) + val(1, 1, 0) * fx
+    dx11 = val(0, 1, 1) * (1 - fx) + val(1, 1, 1) * fx
+    dxy0 = dx00 * (1 - fy) + dx10 * fy
+    dxy1 = dx01 * (1 - fy) + dx11 * fy
+    out = dxy0 * (1 - fz) + dxy1 * fz  # [P, 5]
+    pot = jnp.where(inb, out[..., 0], 0.0)
+    grad = jnp.where(inb[..., None], out[..., 1:4], 0.0)
+    collide = jnp.where(inb, (out[..., 4] < 0.0).astype(pot.dtype), 0.0)
+    return pot, grad, collide
 
 
 def bake_world_potential(

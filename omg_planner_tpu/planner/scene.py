@@ -203,6 +203,21 @@ def _bake_wp_fn(cfg: OMGConfig):
 
 
 @functools.lru_cache(maxsize=64)
+def _bake_wf_fn(cfg: OMGConfig):
+    from ..ops.sdf import BakedSceneSDF, bake_scene, bake_world_field
+
+    def f(scene_sdf, params):
+        if not isinstance(scene_sdf, BakedSceneSDF):
+            scene_sdf = bake_scene(scene_sdf)
+        return bake_world_field(
+            scene_sdf, params.inv_poses, params.epsilons,
+            params.padding_scales, params.clearances, params.disables,
+            resolution=cfg.world_field_resolution)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
 def _goal_set_fn(cfg: OMGConfig, attached: bool, z_up: bool, y_up: bool):
     """Jitted goal-set builder for a (cfg, attachment) mode."""
 
@@ -375,15 +390,38 @@ class PlanningScene:
             start=start, end=end, traj_init=traj0, goal_set=goal_set,
             scene=env.scene_sdf(), cost_params=env.cost_params(),
             joint_lower=lo, joint_upper=hi,
-            world_potential=self._world_potential())
+            world_potential=self._world_potential(),
+            world_field=self._world_field())
+
+    def _world_field(self):
+        """Scene-fused CHOMP collision field (cfg.sdf_fused), cached per
+        env version like the learner's scoring field."""
+        cfg = self.cfg
+        if not cfg.sdf_fused:
+            return None
+        cached = getattr(self, "_wf_cache", None)
+        wf_key = (self.env.version, cfg.jit_key())
+        if cached is not None and cached[0] == wf_key:
+            return cached[1]
+        params = self.env.cost_params()
+        wf = _bake_wf_fn(cfg.jit_key())(self.env.scene_sdf(), params)
+        self._wf_cache = (wf_key, wf)
+        return wf
 
     def _world_potential(self) -> WorldPotential:
-        """Scene-fused learner scoring field, cached per env version."""
+        """Scene-fused learner scoring field, cached per env version.
+
+        Under ``sdf_fused`` the learner field is a VIEW of the CHOMP world
+        field's potential channel — one bake serves both consumers."""
         cfg = self.cfg
         if not (cfg.learner_world_potential and cfg.goal_set_proj):
             return WorldPotential(
                 data=jnp.zeros((2, 2, 2)),
                 origin=jnp.zeros(3), delta=jnp.asarray(1.0))
+        if cfg.sdf_fused:
+            wf = self._world_field()
+            return WorldPotential(data=wf.data5[..., 0], origin=wf.origin,
+                                  delta=wf.delta)
         cached = getattr(self, "_wp_cache", None)
         wp_key = (self.env.version, cfg.jit_key())
         if cached is not None and cached[0] == wp_key:

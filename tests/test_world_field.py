@@ -1,0 +1,84 @@
+"""Fused world-field CHOMP collision backend vs the exact per-object query.
+
+The 5-channel field (`ops/sdf.py::WorldField`) trades bake-time resolution
+for an O× cut in hot-loop gathers (``cfg.sdf_fused``); these tests bound the
+approximation against `sdf_potentials` (the kernel.cu:96-262 oracle path)
+and check plan-level behavior is preserved.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from omg_planner_tpu.config import OMGConfig
+from omg_planner_tpu.ops.sdf import (
+    bake_scene, bake_world_field, sdf_potentials, world_field_query)
+from omg_planner_tpu.planner.scene import PlanningScene
+
+
+def _field_and_params(resolution=0.01):
+    cfg = OMGConfig(silent=True)
+    scene = PlanningScene.synthetic(cfg, scene_id=0, n_obstacles=2)
+    env = scene.env
+    params = env.cost_params()
+    sdf = env.scene_sdf()
+    wf = jax.jit(lambda s, p: bake_world_field(
+        bake_scene(s), p.inv_poses, p.epsilons, p.padding_scales,
+        p.clearances, p.disables, resolution=resolution))(sdf, params)
+    return wf, sdf, params
+
+
+def test_world_field_matches_exact_pointwise():
+    wf, sdf, params = _field_and_params()
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.uniform([0.1, -0.5, 0.2], [0.9, 0.5, 0.9],
+                                  (500, 3)), jnp.float32)
+    pot_e, grad_e, col_e = sdf_potentials(
+        sdf, params.inv_poses, pts, params.epsilons, params.padding_scales,
+        params.clearances, params.disables)
+    pot_f, grad_f, col_f = world_field_query(wf, pts)
+    pot_e, pot_f = np.array(pot_e), np.array(pot_f)
+    grad_e, grad_f = np.array(grad_e), np.array(grad_f)
+    col_e, col_f = np.array(col_e), np.array(col_f)
+
+    # potential: small absolute error vs the eps/2=0.1 scale
+    assert np.quantile(np.abs(pot_e - pot_f), 0.95) < 0.02
+    # gradient: direction agreement where the potential is active (the
+    # optimizer only consumes grad where pot > 0)
+    active = (pot_e > 1e-3) & (pot_f > 1e-3)
+    if active.sum():
+        ge, gf = grad_e[active], grad_f[active]
+        ne = np.linalg.norm(ge, axis=-1)
+        nf = np.linalg.norm(gf, axis=-1)
+        ok = (ne > 1e-6) & (nf > 1e-6)
+        cos = np.sum(ge[ok] * gf[ok], axis=-1) / (ne[ok] * nf[ok])
+        assert np.quantile(cos, 0.05) > 0.9, np.quantile(cos, 0.05)
+    # collide flag: disagreement only inside the one-cell boundary band
+    dis = col_e != col_f
+    assert dis.mean() < 0.05, dis.mean()
+    # far free space is exactly zero
+    pot0, grad0, col0 = world_field_query(
+        wf, jnp.asarray([[0.0, 0.0, 1.2]]))
+    assert float(pot0[0]) == 0.0 and float(col0[0]) == 0.0
+    assert float(jnp.abs(grad0).max()) == 0.0
+
+
+def test_plan_with_fused_field_succeeds():
+    cfg = OMGConfig(silent=True, optim_steps=15, extra_smooth_steps=5,
+                    goal_set_max_num=12, ik_seed_num=3, ik_max_iters=30,
+                    learner_interp_steps=10, sdf_fused=True)
+    scene = PlanningScene.synthetic(cfg, scene_id=0, n_obstacles=1)
+    res = scene.step(fast=True)
+    assert res is not None
+    assert bool(res.flag)
+    assert int(res.info.collide) <= 5
+
+    # exact backend on the same scene: same verdict, close trajectory
+    cfg_exact = cfg.replace(sdf_fused=False)
+    scene_e = PlanningScene.synthetic(cfg_exact, scene_id=0, n_obstacles=1)
+    res_e = scene_e.step(fast=True)
+    assert bool(res_e.flag)
+    d = float(jnp.abs(res.traj - res_e.traj).max())
+    # identical goal sets; trajectories may differ where collision cost is
+    # inactive, but the end states agree and deviation stays small
+    assert d < 0.2, d
