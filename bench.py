@@ -1,54 +1,72 @@
-"""Benchmark: plans/s per chip on the synthetic 100-scene table-top suite.
+"""Benchmark: planning throughput on the pinned 100-scene hard suite.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Baseline anchor: the reference publishes no numbers (BASELINE.md); its only
-operational anchor is the 3 s per-plan wall-clock budget
-(``omg/config.py:130``) under the standard horizon (T=30) and iteration
-budget (50+20) — i.e. 1/3 plan/s/GPU.  ``vs_baseline`` is measured
-plans/s divided by that budget rate.
+Baseline anchor: the reference publishes no throughput numbers
+(BASELINE.md); its only operational anchor is the 3 s per-plan wall-clock
+budget (``omg/config.py:130``) under the standard horizon (T=30) and
+iteration budget (50+20) — i.e. 1/3 plan/s/GPU.  ``vs_baseline`` is the
+headline metric divided by that budget rate.
 
-The measured quantity matches the reference's "planning time" print
-(``omg/planner.py:645-648``): the optimization loop (learner + CHOMP steps),
-excluding goal-set IK construction (which the reference also reports
-separately).  Plans run as one vmapped batch per chip; steady-state timing
-after one warmup iteration.
+Four numbers (VERDICT r1 item 1), all measured on ``data/suite_v2`` — the
+committed, planning-screened hard suite (clutter/shelf/far families,
+manifest mean 29.9 steps at the standard budget):
+
+  * ``value`` / ``plans_per_second_per_chip``: optimization-loop
+    throughput with the reference's early-termination semantics, one
+    ``lax.map`` batch over the suite (matches the reference's "planning
+    time" print, ``omg/planner.py:645-648``, which also excludes IK).
+  * ``full_budget_plans_per_s``: termination disabled — every plan runs
+    the fixed 50+20 steps; raw optimizer throughput.
+  * ``end_to_end_plans_per_s``: 1 / (warm goal-set build + per-plan
+    latency) — what a user planning a fresh scene actually gets.
+  * ``p50_plan_latency_ms``: median of INDIVIDUAL per-scene plan walls
+    (jitted single-scene program), not batch-wall (VERDICT r1 weak #3).
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+SUITE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "data", "suite_v2")
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_problems(cfg, n_scenes, n_obstacles=2):
+def load_suite(cfg, n_scenes):
+    """Pinned hard-suite scenes, SDF stacks padded to one common shape so
+    every scene shares the same compiled programs."""
+    from omg_planner_tpu.planner.scene import PlanningScene
+
+    scenes = []
+    for sid in range(n_scenes):
+        path = os.path.join(SUITE, f"scene_{sid}.npz")
+        scenes.append(PlanningScene.from_npz(cfg.replace(silent=True), path))
+    return scenes
+
+
+def build_problems(cfg, scenes):
+    """Per-scene goal-set build (jitted; program shared across scenes).
+    Returns (stacked problems, per-scene build walls, valid-goal counts)."""
     import jax
     import jax.numpy as jnp
 
     from omg_planner_tpu.ops.sdf import bake_scene, combine_sdfs
     from omg_planner_tpu.parallel.batch import pad_objects, stack_problems
-    from omg_planner_tpu.planner.scene import PlanningScene
 
-    problems = []
-    meta = []
-    scenes = []
-    for sid in range(n_scenes):
-        scene = PlanningScene.synthetic(
-            cfg.replace(silent=True), scene_id=sid, n_obstacles=n_obstacles)
-        scenes.append(scene)
-    # common SDF padding across the whole suite
     all_shapes = np.array([
         o.sdf.data.shape for s in scenes for o in s.env.objects])
     pad_to = tuple(all_shapes.max(axis=0))
     max_obj = max(len(s.env.objects) for s in scenes)
-    t_goal = 0.0
     bake = jax.jit(bake_scene)
+    problems, build_walls, n_valid = [], [], []
     for k, scene in enumerate(scenes):
         stack = combine_sdfs([o.sdf for o in scene.env.objects],
                              pad_to=pad_to)
@@ -56,78 +74,129 @@ def build_problems(cfg, n_scenes, n_obstacles=2):
         t0 = time.time()
         problem = scene.build_problem()
         jax.block_until_ready(problem.goal_set.grasps)
-        t_goal += time.time() - t0
-        log(f"[bench] scene {k}: goal set {time.time()-t0:.1f}s")
-        n_valid = int(np.asarray(problem.goal_set.mask).sum())
-        meta.append(n_valid)
+        dt = time.time() - t0
+        build_walls.append(dt)
+        if k < 3 or k % 20 == 0:
+            log(f"[bench] scene {k}: goal set {dt:.2f}s")
+        n_valid.append(int(np.asarray(problem.goal_set.mask).sum()))
         problems.append(pad_objects(problem, max_obj))
-    return stack_problems(problems), meta, t_goal
+    return stack_problems(problems), build_walls, n_valid
+
+
+def time_batch(model, cfg, problems, n_scenes, reps):
+    """(best batch wall, result) for the lax.map suite batch."""
+    import jax
+    from omg_planner_tpu.parallel.batch import plan_batch_jit
+
+    t0 = time.time()
+    res = plan_batch_jit(model, cfg.jit_key(), problems)
+    jax.block_until_ready(res.traj)
+    compile_s = time.time() - t0
+    log(f"[bench] batch compile+warmup {compile_s:.1f}s")
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = plan_batch_jit(model, cfg.jit_key(), problems)
+        jax.block_until_ready(res.traj)
+        walls.append(time.time() - t0)
+    return min(walls), res, compile_s
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scenes", type=int, default=8)
-    ap.add_argument("--obstacles", type=int, default=3)
-    ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--full-steps", action="store_true",
-                    help="disable early termination: raw optimizer "
-                         "throughput at the fixed 50+20 step budget")
+    ap.add_argument("--scenes", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--fused", action="store_true",
+                    help="scene-fused world-field collision backend "
+                         "(cfg.sdf_fused)")
+    ap.add_argument("--skip-full-budget", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the ambient environment "
+                         "pins the axon TPU regardless of JAX_PLATFORMS)")
     args, _ = ap.parse_known_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
 
     from omg_planner_tpu.config import OMGConfig
     from omg_planner_tpu.models import panda
-    from omg_planner_tpu.parallel.batch import plan_batch_jit
+    from omg_planner_tpu.planner.plan import plan_fast
 
     # standard reference budget: T=30, 50+20 steps, <=100 goals
-    cfg = OMGConfig(silent=True)
-    if args.full_steps:
-        cfg = cfg.replace(pre_terminate=False)
+    cfg = OMGConfig(silent=True, sdf_fused=args.fused)
     model = panda.load_panda(collision_point_num=cfg.collision_point_num)
 
     t0 = time.time()
-    problems, n_valid_goals, t_goal = build_problems(
-        cfg, args.scenes, args.obstacles)
-    setup_time = time.time() - t0
+    scenes = load_suite(cfg, args.scenes)
+    problems, build_walls, n_valid = build_problems(cfg, scenes)
+    setup_s = time.time() - t0
+    # warm build = median over scenes after the first (first pays compile)
+    warm_build_s = float(np.median(build_walls[1:] or build_walls))
+    log(f"[bench] setup {setup_s:.1f}s; warm goal-set build "
+        f"{warm_build_s:.3f}s/scene")
 
-    log(f"[bench] setup done in {setup_time:.1f}s; compiling plan batch...")
-    # warmup / compile
-    t0 = time.time()
-    res = plan_batch_jit(model, cfg.jit_key(), problems)
-    jax.block_until_ready(res.traj)
-    compile_time = time.time() - t0
-
-    log(f"[bench] compile+warmup {compile_time:.1f}s; timing...")
-    times = []
-    for _ in range(args.reps):
-        t0 = time.time()
-        res = plan_batch_jit(model, cfg.jit_key(), problems)
-        jax.block_until_ready(res.traj)
-        times.append(time.time() - t0)
-    best = min(times)
-    plans_per_s = args.scenes / best
-    # with early termination disabled the reference's terminate flag can
-    # never fire; use the execute criterion (collision-free + smooth)
-    success = float(np.asarray(
-        res.info.execute if args.full_steps else res.flag).mean())
+    n = args.scenes
+    # 1) early-termination batch (reference semantics)
+    best_early, res, compile_s = time_batch(model, cfg, problems, n, args.reps)
+    early_rate = n / best_early
+    success = float(np.asarray(res.flag).mean())
     steps_used = np.asarray(res.steps_used)
+
+    # 2) honest per-plan latencies: individual jitted plans per scene
+    plan_one = jax.jit(plan_fast, static_argnums=(1,))
+    take = lambda pr, i: jax.tree.map(lambda x: x[i], pr)
+    r0 = plan_one(model, cfg.jit_key(), take(problems, 0))
+    jax.block_until_ready(r0.traj)  # compile
+    per_plan = []
+    for i in range(n):
+        pr = take(problems, i)
+        jax.block_until_ready(pr.start)
+        t0 = time.time()
+        r = plan_one(model, cfg.jit_key(), pr)
+        jax.block_until_ready(r.traj)
+        per_plan.append(time.time() - t0)
+    p50_ms = 1000.0 * float(np.median(per_plan))
+    mean_plan_s = float(np.mean(per_plan))
+
+    # 3) full-budget batch (termination disabled; execute criterion since
+    #    the terminate flag can never fire)
+    if args.skip_full_budget:
+        full_rate = None
+        success_full = None
+    else:
+        cfg_full = cfg.replace(pre_terminate=False)
+        best_full, res_full, _ = time_batch(
+            model, cfg_full, problems, n, args.reps)
+        full_rate = n / best_full
+        success_full = float(np.asarray(res_full.info.execute).mean())
+
+    e2e_rate = 1.0 / (warm_build_s + mean_plan_s)
 
     baseline_rate = 1.0 / 3.0  # reference per-plan budget (config.py:130)
     out = {
         "metric": "plans_per_second_per_chip",
-        "value": round(plans_per_s, 3),
+        "value": round(early_rate, 3),
         "unit": "plans/s",
-        "vs_baseline": round(plans_per_s / baseline_rate, 2),
-        "batch_scenes": args.scenes,
-        "batch_wall_s": round(best, 4),
-        "p50_plan_latency_ms": round(1000.0 * best, 2),
+        "vs_baseline": round(early_rate / baseline_rate, 2),
+        "suite": "data/suite_v2 (pinned hard suite)",
+        "n_scenes": n,
+        "sdf_fused": bool(args.fused),
+        "full_budget_plans_per_s": (round(full_rate, 3)
+                                    if full_rate else None),
+        "end_to_end_plans_per_s": round(e2e_rate, 3),
+        "p50_plan_latency_ms": round(p50_ms, 2),
+        "mean_plan_latency_ms": round(1000 * mean_plan_s, 2),
+        "warm_goal_set_build_s": round(warm_build_s, 3),
         "success_rate": round(success, 3),
+        "success_rate_full_budget": (round(success_full, 3)
+                                     if success_full is not None else None),
         "mean_steps": round(float(steps_used.mean()), 1),
-        "mean_goals": round(float(np.mean(n_valid_goals)), 1),
-        "goal_set_build_s_total": round(t_goal, 2),
-        "compile_s": round(compile_time, 2),
-        "setup_s": round(setup_time, 2),
+        "mean_goals": round(float(np.mean(n_valid)), 1),
+        "batch_wall_s": round(best_early, 4),
+        "compile_s": round(compile_s, 2),
+        "setup_s": round(setup_s, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
