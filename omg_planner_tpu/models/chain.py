@@ -14,7 +14,8 @@ here the chain is data, and FK is 20 lines of composed transforms.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -25,20 +26,30 @@ PRISMATIC = 1
 FIXED = 2
 
 
-class ChainModel(NamedTuple):
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["origin", "axis", "lower", "upper", "collision_points"],
+    meta_fields=["jtype"])
+@dataclasses.dataclass(frozen=True)
+class ChainModel:
     """A fixed-base serial chain.
 
     ``origin[j]`` is the constant transform from link j-1's frame to the
     joint-j frame; joint motion applies about/along ``axis[j]`` in that
-    frame.  ``link_names[j]`` is the child link of joint j.
+    frame.  ``jtype`` is STATIC metadata (a tuple, not an array) so the
+    chain structure stays concrete when the model is a jit argument —
+    FK unrolls over it at trace time, exactly like the Panda tables.
     """
 
     origin: jnp.ndarray       # [J, 4, 4]
     axis: jnp.ndarray         # [J, 3]
-    jtype: jnp.ndarray        # [J] int (REVOLUTE/PRISMATIC/FIXED)
     lower: jnp.ndarray        # [J] (0 for fixed)
     upper: jnp.ndarray        # [J]
     collision_points: jnp.ndarray  # [J, P, 3] body points per link
+    jtype: tuple              # [J] ints (REVOLUTE/PRISMATIC/FIXED), static
+
+    def _replace(self, **kw) -> "ChainModel":
+        return dataclasses.replace(self, **kw)
 
     @property
     def num_joints(self) -> int:
@@ -47,6 +58,20 @@ class ChainModel(NamedTuple):
     @property
     def num_dof(self) -> int:
         return int(np.sum(np.asarray(self.jtype) != FIXED))
+
+    @property
+    def num_collision_points(self) -> int:
+        return self.collision_points.shape[1]
+
+    def soft_limits(self, padding: float):
+        """Soft joint limits: pad every moving joint (the Panda pads only
+        its arm joints; a generic chain has no gripper convention)."""
+        moving = jnp.asarray(
+            np.array(self.jtype) != FIXED, self.lower.dtype)
+        dof_idx = np.where(np.asarray(self.jtype) != FIXED)[0]
+        lo = (self.lower + padding * moving)[dof_idx]
+        hi = (self.upper - padding * moving)[dof_idx]
+        return lo, hi
 
 
 def _axis_angle_mat(axis: jnp.ndarray, angle) -> jnp.ndarray:
@@ -91,6 +116,13 @@ def chain_fk(model: ChainModel, q: jnp.ndarray,
 
 
 chain_fk_batch = jax.vmap(chain_fk, in_axes=(None, 0))
+
+
+def chain_fk_with_joint_info_batch(model: ChainModel, q: jnp.ndarray):
+    """Batched FK with world joint origins/axes:
+    q [n, dof] -> ([n, J, 4, 4], [n, J, 3], [n, J, 3])."""
+    return jax.vmap(
+        lambda qq: chain_fk(model, qq, return_joint_info=True))(q)
 
 
 def chain_point_jacobians(model: ChainModel, q: jnp.ndarray):
@@ -191,7 +223,7 @@ def load_urdf_chain(path_or_xml: str, base_link: str, tip_link: str,
     return ChainModel(
         origin=jnp.asarray(origin, jnp.float32),
         axis=jnp.asarray(axis, jnp.float32),
-        jtype=jnp.asarray(jtype),
+        jtype=tuple(int(t) for t in jtype),
         lower=jnp.asarray(lower, jnp.float32),
         upper=jnp.asarray(upper, jnp.float32),
         collision_points=jnp.asarray(pts, jnp.float32))

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DIFF_RULES, DIFF_RULE_LENGTH, HorizonParams, OMGConfig
-from ..models import panda
+from ..models import api as model_api, panda
 from ..utils.diff import get_derivative
 from .sdf import SceneSDF, WorldField, sdf_potentials, world_field_query
 
@@ -112,7 +112,7 @@ def smooth_loss(
 
 
 def forward_kinematics_obstacle(
-    model: panda.PandaModel,
+    model,
     scene: SceneSDF,
     params: CostParams,
     cfg: OMGConfig,
@@ -134,8 +134,8 @@ def forward_kinematics_obstacle(
     x/v/a_ws: [T, 10, P, 3]; jac: [T, 10, P, 9, 3]; potentials: [T, 10, P].
     """
     t_dim = xi.shape[0]
-    poses, origins_w, axes_w = panda.fk_with_joint_info_batch(model, xi)
-    x = panda.collision_point_positions(model, poses)  # [T, 10, P, 3]
+    poses, origins_w, axes_w = model_api.fk_with_joint_info_batch(model, xi)
+    x = model_api.point_positions(model, poses)  # [T, L, P, 3]
     p = x.shape[2]
 
     pts_flat = x.reshape(-1, 3)
@@ -145,24 +145,25 @@ def forward_kinematics_obstacle(
         pot, grad, collide = sdf_potentials(
             scene, params.inv_poses, pts_flat, params.epsilons,
             params.padding_scales, params.clearances, params.disables)
-    pot = pot.reshape(t_dim, panda.NUM_LINKS, p)
-    grad = grad.reshape(t_dim, panda.NUM_LINKS, p, 3)
-    collide = collide.reshape(t_dim, panda.NUM_LINKS, p)
+    n_links = model_api.num_links(model)
+    pot = pot.reshape(t_dim, n_links, p)
+    grad = grad.reshape(t_dim, n_links, p, 3)
+    collide = collide.reshape(t_dim, n_links, p)
 
     if cfg.uncheck_finger_collision == -1:
-        # soften finger potentials (omg/cost.py:350-353)
-        scale = jnp.ones((panda.NUM_LINKS,), pot.dtype).at[-2:].set(0.1)
+        # soften finger potentials (omg/cost.py:350-353); no-op for
+        # gripperless models (finger_link_mask all-zero)
+        fmask = jnp.asarray(model_api.finger_link_mask(model), pot.dtype)
+        scale = 1.0 - 0.9 * fmask
         pot = pot * scale[None, :, None]
         grad = grad * scale[None, :, None, None]
-        collide = collide.at[:, -2:].set(0.0)
+        collide = collide * (1.0 - fmask)[None, :, None]
 
-    jac = panda.point_jacobians(model, origins_w, axes_w, x)
+    jac = model_api.point_jacobians(model, origins_w, axes_w, x)
 
     # endpoint body-point positions for the boundary-corrected derivatives
-    x_start = panda.collision_point_positions(
-        model, panda.forward_kinematics(model, start))
-    x_end = panda.collision_point_positions(
-        model, panda.forward_kinematics(model, end))
+    x_start = model_api.point_positions(model, model_api.fk_one(model, start))
+    x_end = model_api.point_positions(model, model_api.fk_one(model, end))
     # differentiate along time: arrange [10, P, T, 3]
     xs = jnp.moveaxis(x, 0, 2)
     v = get_derivative(hp, xs, x_start, x_end, 1)
@@ -194,7 +195,7 @@ def _functional_grad_terms(v, a_ws, pot, grad):
 
 
 def compute_collision_loss(
-    model: panda.PandaModel,
+    model,
     scene: SceneSDF,
     params: CostParams,
     cfg: OMGConfig,
@@ -218,7 +219,7 @@ def compute_collision_loss(
 
     cost_pt, direction = _functional_grad_terms(v, a_ws, pot, grad)
 
-    total = t_dim * panda.NUM_LINKS * p
+    total = t_dim * model_api.num_links(model) * p
     k = cfg.top_k_collision
     if k and k < total:
         flat = pot.reshape(-1)
@@ -230,7 +231,8 @@ def compute_collision_loss(
     if not cfg.consider_finger and k:
         # finger links are excluded from gradient/cost contributions in the
         # top-k branch (omg/cost.py:401-402)
-        link_mask = jnp.ones((panda.NUM_LINKS,), pot.dtype).at[-2:].set(0.0)
+        link_mask = 1.0 - jnp.asarray(
+            model_api.finger_link_mask(model), pot.dtype)
         sel = sel * link_mask[None, :, None]
 
     obs_cost = (cost_pt * sel).sum(-1)  # [T, 10]
@@ -240,7 +242,7 @@ def compute_collision_loss(
 
 
 def compute_total_loss(
-    model: panda.PandaModel,
+    model,
     scene: SceneSDF,
     params: CostParams,
     cfg: OMGConfig,
@@ -318,13 +320,19 @@ def unconstrained_update(hp, grad, step_size):
     return -step_size * (jnp.asarray(hp.Ainv) @ grad)
 
 
-def apply_update(cfg: OMGConfig, xi: jnp.ndarray, update: jnp.ndarray):
-    """Trajectory update + finger clamp (``omg/core.py:43-51``)."""
+def apply_update(model, cfg: OMGConfig, xi: jnp.ndarray,
+                 update: jnp.ndarray):
+    """Trajectory update + gripper clamp (``omg/core.py:43-51``).
+
+    Gripper dofs are frozen unless ``cfg.consider_finger`` and always
+    clamped to their hard range; both are identities for gripperless
+    models (``models/api.py``)."""
     if cfg.consider_finger:
         xi = xi + update
     else:
-        xi = xi.at[:, :-2].add(update[:, :-2])
-    return xi.at[:, -2:].set(jnp.clip(xi[:, -2:], 0.0, 0.04))
+        arm = jnp.asarray(model_api.arm_dof_mask(model), xi.dtype)
+        xi = xi + update * arm[None, :]
+    return model_api.gripper_clamp(model, xi)
 
 
 def handle_joint_limit(

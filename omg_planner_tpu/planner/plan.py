@@ -109,7 +109,7 @@ def _optimize_once(model, cfg, hp, problem: PlanProblem, traj, goal_idx, step):
             hp, cfg, traj, grad, tail, step_size)
     else:
         update = chomp.unconstrained_update(hp, grad, step_size)
-    new_traj = chomp.apply_update(cfg, traj, update)
+    new_traj = chomp.apply_update(model, cfg, traj, update)
     new_traj = chomp.handle_joint_limit(
         hp, cfg, new_traj, problem.joint_lower, problem.joint_upper)
     return new_traj, info
@@ -160,7 +160,7 @@ def _learner_init(model, cfg, hp, problem: PlanProblem, cv_fn):
     return traj0, goal_idx0, learner0
 
 
-def plan(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
+def plan(model, cfg: OMGConfig, problem: PlanProblem,
          cv_fn=None) -> PlanResult:
     """Full OMG plan with history (jit with cfg static).
 
@@ -219,7 +219,7 @@ def plan(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
         steps_used=carry.step, flag=info.terminate)
 
 
-def plan_fast(model: panda.PandaModel, cfg: OMGConfig, problem: PlanProblem,
+def plan_fast(model, cfg: OMGConfig, problem: PlanProblem,
               cv_fn=None) -> PlanResult:
     """History-free plan via ``lax.while_loop`` — early termination actually
     skips work (the benchmark path).  ``cv_fn`` as in :func:`plan`."""
