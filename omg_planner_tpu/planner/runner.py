@@ -1,10 +1,18 @@
 """Resumable batch suite runner with a manifest + per-scene result shards.
 
 The reference's evaluation is a serial loop printing verdicts
-(``omg/core.py:869-885``); failures lose all progress.  This runner persists
-a manifest (which scenes are done) and one ``.npz`` result shard per scene
-(SURVEY §5.4's checkpoint/resume equivalent for batch planning), and plans
-scenes in device-batched groups.
+(``omg/core.py:869-885``); failures lose all progress.  This runner
+persists a manifest (which scenes are done) and one ``.npz`` result shard
+per scene (SURVEY §5.4's checkpoint/resume equivalent for batch planning).
+
+Scenes stream one at a time through per-scene jitted plans: all scenes
+share one padded SDF shape, so every program compiles once, and device
+memory stays O(one scene) — the suite's stacks are ~100 MB+ each, and
+``lax.map`` batching over big stacked scenes has additionally been
+observed to abort the v5e backend (DESIGN.md §3b).  Besides the planner's
+own verdict, each scene gets an execution-validation grade
+(``planner/validate.py``: fine swept collision + grasp geometry + lift
+clearance — the physics harness's failure modes, kinematically).
 """
 
 from __future__ import annotations
@@ -21,11 +29,16 @@ from ..io import scene_io
 
 class SuiteRunner:
     def __init__(self, out_dir: str, cfg: OMGConfig | None = None,
-                 batch_size: int = 8, n_obstacles: int = 3):
+                 n_obstacles: int = 3, scene_source: str = "synthetic",
+                 suite_dir: str | None = None, validate: bool = True):
+        """``scene_source``: "synthetic" | "hard" | "npz" (pinned suite in
+        ``suite_dir``)."""
         self.out_dir = out_dir
         self.cfg = cfg or OMGConfig(silent=True)
-        self.batch_size = batch_size
         self.n_obstacles = n_obstacles
+        self.scene_source = scene_source
+        self.suite_dir = suite_dir
+        self.validate = validate
         os.makedirs(out_dir, exist_ok=True)
         self.manifest_path = os.path.join(out_dir, "manifest.json")
         self.manifest = self._load_manifest()
@@ -34,7 +47,8 @@ class SuiteRunner:
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 return json.load(f)
-        return {"done": {}, "config": repr(self.cfg)}
+        return {"done": {}, "config": repr(self.cfg),
+                "source": self.scene_source}
 
     def _save_manifest(self):
         with open(self.manifest_path, "w") as f:
@@ -43,64 +57,93 @@ class SuiteRunner:
     def pending(self, scene_ids) -> list:
         return [s for s in scene_ids if str(s) not in self.manifest["done"]]
 
+    def _make_scene(self, sid: int):
+        from ..planner.scene import PlanningScene
+
+        if self.scene_source == "hard":
+            return PlanningScene.hard(self.cfg, scene_id=int(sid))
+        if self.scene_source == "npz":
+            return PlanningScene.from_npz(
+                self.cfg,
+                os.path.join(self.suite_dir, f"scene_{sid}.npz"))
+        return PlanningScene.synthetic(
+            self.cfg, scene_id=int(sid), n_obstacles=self.n_obstacles)
+
     def run(self, scene_ids=range(100)) -> dict:
-        """Plan all pending scenes in batches; resume-safe."""
+        """Plan all pending scenes; resume-safe."""
         import jax
 
         from ..models import panda
-        from ..parallel.batch import (pad_objects, plan_batch_jit,
-                                      stack_problems)
+        from ..parallel.batch import pad_objects
+        from ..planner.plan import plan_fast
         from ..ops.sdf import bake_scene, combine_sdfs
-        from ..planner.scene import PlanningScene
+        from .validate import validate_execution
 
         pending = self.pending(scene_ids)
         model = panda.load_panda(
             collision_point_num=self.cfg.collision_point_num)
         wins = sum(v["success"] for v in self.manifest["done"].values())
+        exec_wins = sum(v.get("exec_valid", False)
+                        for v in self.manifest["done"].values())
+        plan_one = jax.jit(plan_fast, static_argnums=(1,))
+        bake = jax.jit(bake_scene)
 
-        for i in range(0, len(pending), self.batch_size):
-            group = pending[i:i + self.batch_size]
-            scenes, problems = [], []
-            for sid in group:
-                sc = PlanningScene.synthetic(
-                    self.cfg, scene_id=int(sid),
-                    n_obstacles=self.n_obstacles)
-                scenes.append(sc)
+        scenes = {sid: self._make_scene(sid) for sid in pending}
+        if scenes:
             shapes = np.array([o.sdf.data.shape
-                               for s in scenes for o in s.env.objects])
+                               for s in scenes.values()
+                               for o in s.env.objects])
             pad_to = tuple(shapes.max(axis=0))
-            max_obj = max(len(s.env.objects) for s in scenes)
-            bake = jax.jit(bake_scene)
-            for sc in scenes:
-                stack = combine_sdfs([o.sdf for o in sc.env.objects],
-                                     pad_to=pad_to)
-                sc.env._scene_sdf = (bake(stack) if self.cfg.sdf_baked
-                                     else stack)
-                problems.append(pad_objects(sc.build_problem(), max_obj))
+            max_obj = max(len(s.env.objects) for s in scenes.values())
+
+        for sid in pending:
+            sc = scenes[sid]
+            stack = combine_sdfs([o.sdf for o in sc.env.objects],
+                                 pad_to=pad_to)
+            sc.env._scene_sdf = (bake(stack) if self.cfg.sdf_baked
+                                 else stack)
             t0 = time.time()
-            res = plan_batch_jit(model, self.cfg, stack_problems(problems))
+            problem = sc.build_problem()
+            if (self.cfg.goal_set_proj
+                    and int(np.asarray(problem.goal_set.mask).sum()) == 0):
+                rec = {"success": False, "steps": 0, "no_goals": True,
+                       "exec_valid": False, "wall_s": 0.0}
+                self.manifest["done"][str(sid)] = rec
+                self._save_manifest()
+                continue
+            problem = pad_objects(problem, max_obj)
+            res = plan_one(model, self.cfg.jit_key(), problem)
             res = jax.tree.map(np.asarray, res)
             dt = time.time() - t0
 
-            for j, sid in enumerate(group):
-                ok = bool(res.flag[j])
-                wins += ok
-                scene_io.save_result_shard(
-                    os.path.join(self.out_dir, f"scene_{sid}.npz"),
-                    int(sid), res.traj[j],
-                    {"success": ok, "steps": int(res.steps_used[j]),
-                     "collide": float(res.info.collide[j]),
-                     "smooth": float(res.info.smooth[j]),
-                     "reach": float(res.info.reach[j])})
-                self.manifest["done"][str(sid)] = {
-                    "success": ok, "steps": int(res.steps_used[j]),
-                    "batch_s": round(dt, 3)}
+            report = None
+            if self.validate:
+                report = validate_execution(sc, res.traj)
+                exec_wins += report.valid
+            ok = bool(res.flag)
+            wins += ok
+            shard_info = {
+                "success": ok, "steps": int(res.steps_used),
+                "collide": float(res.info.collide),
+                "smooth": float(res.info.smooth),
+                "reach": float(res.info.reach)}
+            if report is not None:
+                shard_info.update(report.to_dict())
+            scene_io.save_result_shard(
+                os.path.join(self.out_dir, f"scene_{sid}.npz"),
+                int(sid), res.traj, shard_info)
+            rec = {"success": ok, "steps": int(res.steps_used),
+                   "wall_s": round(dt, 3)}
+            if report is not None:
+                rec["exec_valid"] = bool(report.valid)
+            self.manifest["done"][str(sid)] = rec
             self._save_manifest()
+            sc.env._scene_sdf = None
             if not self.cfg.silent:
-                print(f"batch {group[0]}..{group[-1]}: "
-                      f"{dt:.2f}s, cumulative {wins}/"
-                      f"{len(self.manifest['done'])}")
-        return {
-            "success": wins,
-            "total": len(self.manifest["done"]),
-        }
+                extra = (f" exec={report.valid}" if report else "")
+                print(f"scene {sid}: {dt:.2f}s success={ok}{extra} "
+                      f"cumulative {wins}/{len(self.manifest['done'])}")
+        out = {"success": wins, "total": len(self.manifest["done"])}
+        if self.validate:
+            out["exec_valid"] = exec_wins
+        return out

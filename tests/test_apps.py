@@ -42,14 +42,15 @@ def test_gen_demos(tmp_path):
 
 def test_suite_runner_resumes(tmp_path):
     from omg_planner_tpu.planner.runner import SuiteRunner
-    r = SuiteRunner(str(tmp_path), SMALL, batch_size=2, n_obstacles=1)
+    r = SuiteRunner(str(tmp_path), SMALL, n_obstacles=1)
     out = r.run(range(2))
     assert out["total"] == 2
     # resume: nothing pending, fast no-op
-    r2 = SuiteRunner(str(tmp_path), SMALL, batch_size=2, n_obstacles=1)
+    r2 = SuiteRunner(str(tmp_path), SMALL, n_obstacles=1)
     assert r2.pending(range(2)) == []
     out2 = r2.run(range(2))
     assert out2["total"] == 2
     # result shards exist
     d = dict(np.load(tmp_path / "scene_0.npz"))
     assert "traj" in d and "success" in d
+    assert "valid" in d  # execution-validation grade rides along
