@@ -86,6 +86,14 @@ def plan_batch(model: panda.PandaModel, cfg: OMGConfig,
     ``lax.map`` runs scenes sequentially on-chip, each iteration the fast
     unbatched program; device-level parallelism comes from the mesh
     (`make_sharded_plan`), not intra-chip batching.
+
+    CAVEAT (v5e, measured round 2): with hard-suite-sized scenes (10+
+    objects, 80x112x64 baked stacks) this stacked lax.map program ABORTS
+    the TPU backend at run time, while the identical per-scene program is
+    fine — and stacking N scenes stages N full SDF stacks in HBM anyway.
+    For big scenes prefer the streaming host loop over per-scene jitted
+    plans (``planner/runner.py``, ``bench.py``); per-plan dispatch is
+    ~1 ms against ~150 ms plans.
     """
     return jax.lax.map(lambda pr: plan_fast(model, cfg, pr), problems)
 
