@@ -22,7 +22,12 @@ from ..planner.scene import PlanningScene
 
 
 def generate(n_scenes: int, out_dir: str, cfg: OMGConfig | None = None,
-             n_obstacles: int = 3, fast: bool = True) -> int:
+             n_obstacles: int = 3, fast: bool = True,
+             observations: bool = False) -> int:
+    """``observations=True`` records the RGB/depth/segmentation frame of
+    each kept scene (the reference stores rendered observations with its
+    demonstrations, ``bullet/gen_data.py:30-43``; RGB from
+    ``viz/raster.py``)."""
     cfg = cfg or OMGConfig(silent=True)
     os.makedirs(out_dir, exist_ok=True)
     kept = 0
@@ -39,9 +44,17 @@ def generate(n_scenes: int, out_dir: str, cfg: OMGConfig | None = None,
             "names": np.array([o.name for o in scene.env.objects]),
             "target": np.array(scene.env.target.name),
         }
+        obs = None
+        if observations:
+            from ..viz.raster import render_rgb
+
+            rgb, depth, seg = render_rgb(scene.env.objects)
+            obs = {"rgb": rgb,
+                   "depth": np.where(np.isfinite(depth), depth, 0.0),
+                   "seg": seg}
         scene_io.save_demonstration(
             os.path.join(out_dir, f"demo_{sid}.npz"),
-            res.traj, goals, meta)
+            res.traj, goals, meta, observations=obs)
         kept += 1
     return kept
 
@@ -51,11 +64,13 @@ def main():
     ap.add_argument("-n", type=int, default=20)
     ap.add_argument("-o", "--out", default="data/demonstrations")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--obs", action="store_true",
+                    help="record RGB/depth/seg observation frames")
     args = ap.parse_args()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    kept = generate(args.n, args.out)
+    kept = generate(args.n, args.out, observations=args.obs)
     print(f"saved {kept}/{args.n} successful demonstrations to {args.out}")
 
 
