@@ -13,15 +13,21 @@ committed, planning-screened hard suite (clutter/shelf/far families,
 manifest mean 29.9 steps at the standard budget):
 
   * ``value`` / ``plans_per_second_per_chip``: optimization-loop
-    throughput with the reference's early-termination semantics, one
-    ``lax.map`` batch over the suite (matches the reference's "planning
-    time" print, ``omg/planner.py:645-648``, which also excludes IK).
+    throughput with the reference's early-termination semantics (matches
+    the reference's "planning time" print, ``omg/planner.py:645-648``,
+    which also excludes IK).
   * ``full_budget_plans_per_s``: termination disabled — every plan runs
     the fixed 50+20 steps; raw optimizer throughput.
   * ``end_to_end_plans_per_s``: 1 / (warm goal-set build + per-plan
     latency) — what a user planning a fresh scene actually gets.
-  * ``p50_plan_latency_ms``: median of INDIVIDUAL per-scene plan walls
-    (jitted single-scene program), not batch-wall (VERDICT r1 weak #3).
+  * ``p50_plan_latency_ms``: median of per-scene plan walls
+    (VERDICT r1 weak #3: per-plan, not batch-wall).
+
+Scenes stream one at a time (build -> plan -> drop): the suite's SDF
+stacks are ~100 MB+ per scene on device, so staging all 100 at once would
+swamp HBM; per-chip planning is sequential either way (lax.map batches
+run scenes serially on-chip — DESIGN.md §3b).  All scenes share one
+padded SDF shape so every jitted program compiles exactly once.
 """
 
 import argparse
@@ -40,72 +46,9 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def load_suite(cfg, n_scenes):
-    """Pinned hard-suite scenes, SDF stacks padded to one common shape so
-    every scene shares the same compiled programs."""
-    from omg_planner_tpu.planner.scene import PlanningScene
-
-    scenes = []
-    for sid in range(n_scenes):
-        path = os.path.join(SUITE, f"scene_{sid}.npz")
-        scenes.append(PlanningScene.from_npz(cfg.replace(silent=True), path))
-    return scenes
-
-
-def build_problems(cfg, scenes):
-    """Per-scene goal-set build (jitted; program shared across scenes).
-    Returns (stacked problems, per-scene build walls, valid-goal counts)."""
-    import jax
-    import jax.numpy as jnp
-
-    from omg_planner_tpu.ops.sdf import bake_scene, combine_sdfs
-    from omg_planner_tpu.parallel.batch import pad_objects, stack_problems
-
-    all_shapes = np.array([
-        o.sdf.data.shape for s in scenes for o in s.env.objects])
-    pad_to = tuple(all_shapes.max(axis=0))
-    max_obj = max(len(s.env.objects) for s in scenes)
-    bake = jax.jit(bake_scene)
-    problems, build_walls, n_valid = [], [], []
-    for k, scene in enumerate(scenes):
-        stack = combine_sdfs([o.sdf for o in scene.env.objects],
-                             pad_to=pad_to)
-        scene.env._scene_sdf = bake(stack) if cfg.sdf_baked else stack
-        t0 = time.time()
-        problem = scene.build_problem()
-        jax.block_until_ready(problem.goal_set.grasps)
-        dt = time.time() - t0
-        build_walls.append(dt)
-        if k < 3 or k % 20 == 0:
-            log(f"[bench] scene {k}: goal set {dt:.2f}s")
-        n_valid.append(int(np.asarray(problem.goal_set.mask).sum()))
-        problems.append(pad_objects(problem, max_obj))
-    return stack_problems(problems), build_walls, n_valid
-
-
-def time_batch(model, cfg, problems, n_scenes, reps):
-    """(best batch wall, result) for the lax.map suite batch."""
-    import jax
-    from omg_planner_tpu.parallel.batch import plan_batch_jit
-
-    t0 = time.time()
-    res = plan_batch_jit(model, cfg.jit_key(), problems)
-    jax.block_until_ready(res.traj)
-    compile_s = time.time() - t0
-    log(f"[bench] batch compile+warmup {compile_s:.1f}s")
-    walls = []
-    for _ in range(reps):
-        t0 = time.time()
-        res = plan_batch_jit(model, cfg.jit_key(), problems)
-        jax.block_until_ready(res.traj)
-        walls.append(time.time() - t0)
-    return min(walls), res, compile_s
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", type=int, default=100)
-    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--fused", action="store_true",
                     help="scene-fused world-field collision backend "
                          "(cfg.sdf_fused)")
@@ -118,61 +61,94 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
     from omg_planner_tpu.config import OMGConfig
     from omg_planner_tpu.models import panda
+    from omg_planner_tpu.ops.sdf import bake_scene, combine_sdfs
     from omg_planner_tpu.planner.plan import plan_fast
+    from omg_planner_tpu.planner.scene import PlanningScene
 
     # standard reference budget: T=30, 50+20 steps, <=100 goals
     cfg = OMGConfig(silent=True, sdf_fused=args.fused)
+    cfg_full = cfg.replace(pre_terminate=False)
     model = panda.load_panda(collision_point_num=cfg.collision_point_num)
-
-    t0 = time.time()
-    scenes = load_suite(cfg, args.scenes)
-    problems, build_walls, n_valid = build_problems(cfg, scenes)
-    setup_s = time.time() - t0
-    # warm build = median over scenes after the first (first pays compile)
-    warm_build_s = float(np.median(build_walls[1:] or build_walls))
-    log(f"[bench] setup {setup_s:.1f}s; warm goal-set build "
-        f"{warm_build_s:.3f}s/scene")
+    plan_one = jax.jit(plan_fast, static_argnums=(1,))
 
     n = args.scenes
-    # 1) early-termination batch (reference semantics)
-    best_early, res, compile_s = time_batch(model, cfg, problems, n, args.reps)
-    early_rate = n / best_early
-    success = float(np.asarray(res.flag).mean())
-    steps_used = np.asarray(res.steps_used)
+    setup_t0 = time.time()
+    # one padded SDF shape across the suite => one compile per program
+    scenes = [PlanningScene.from_npz(cfg.replace(silent=True),
+                                     os.path.join(SUITE, f"scene_{sid}.npz"))
+              for sid in range(n)]
+    all_shapes = np.array([
+        o.sdf.data.shape for s in scenes for o in s.env.objects])
+    pad_to = tuple(all_shapes.max(axis=0))
+    max_obj = max(len(s.env.objects) for s in scenes)
+    bake = jax.jit(bake_scene)
 
-    # 2) honest per-plan latencies: individual jitted plans per scene
-    plan_one = jax.jit(plan_fast, static_argnums=(1,))
-    take = lambda pr, i: jax.tree.map(lambda x: x[i], pr)
-    r0 = plan_one(model, cfg.jit_key(), take(problems, 0))
-    jax.block_until_ready(r0.traj)  # compile
-    per_plan = []
-    for i in range(n):
-        pr = take(problems, i)
-        jax.block_until_ready(pr.start)
+    from omg_planner_tpu.parallel.batch import pad_objects
+
+    build_walls, early_walls, full_walls = [], [], []
+    n_valid, flags, steps_used, exec_full = [], [], [], []
+    compile_walls = {}
+    for k, scene in enumerate(scenes):
+        stack = combine_sdfs([o.sdf for o in scene.env.objects],
+                             pad_to=pad_to)
+        scene.env._scene_sdf = bake(stack) if cfg.sdf_baked else stack
         t0 = time.time()
-        r = plan_one(model, cfg.jit_key(), pr)
+        problem = scene.build_problem()
+        jax.block_until_ready(problem.goal_set.grasps)
+        build_walls.append(time.time() - t0)
+        n_valid.append(int(np.asarray(problem.goal_set.mask).sum()))
+        problem = pad_objects(problem, max_obj)
+        # drain async staging (bake/pad dispatches) BEFORE timing the plan:
+        # otherwise the first plan wall absorbs pending device work
+        jax.block_until_ready(problem)
+
+        t0 = time.time()
+        r = plan_one(model, cfg.jit_key(), problem)
         jax.block_until_ready(r.traj)
-        per_plan.append(time.time() - t0)
-    p50_ms = 1000.0 * float(np.median(per_plan))
-    mean_plan_s = float(np.mean(per_plan))
+        dt = time.time() - t0
+        if k == 0:
+            compile_walls["plan"] = dt  # first call pays the compile
+            t0 = time.time()
+            r = plan_one(model, cfg.jit_key(), problem)
+            jax.block_until_ready(r.traj)
+            dt = time.time() - t0
+        early_walls.append(dt)
+        flags.append(bool(np.asarray(r.flag)))
+        steps_used.append(int(np.asarray(r.steps_used)))
 
-    # 3) full-budget batch (termination disabled; execute criterion since
-    #    the terminate flag can never fire)
-    if args.skip_full_budget:
-        full_rate = None
-        success_full = None
-    else:
-        cfg_full = cfg.replace(pre_terminate=False)
-        best_full, res_full, _ = time_batch(
-            model, cfg_full, problems, n, args.reps)
-        full_rate = n / best_full
-        success_full = float(np.asarray(res_full.info.execute).mean())
+        if not args.skip_full_budget:
+            t0 = time.time()
+            rf = plan_one(model, cfg_full.jit_key(), problem)
+            jax.block_until_ready(rf.traj)
+            dt = time.time() - t0
+            if k == 0:
+                compile_walls["plan_full"] = dt
+                t0 = time.time()
+                rf = plan_one(model, cfg_full.jit_key(), problem)
+                jax.block_until_ready(rf.traj)
+                dt = time.time() - t0
+            full_walls.append(dt)
+            exec_full.append(bool(np.asarray(rf.info.execute)))
 
+        # drop device buffers before the next scene (HBM discipline)
+        scene.env._scene_sdf = None
+        del problem, r
+        if k < 3 or k % 20 == 0:
+            log(f"[bench] scene {k}: build {build_walls[-1]:.2f}s "
+                f"plan {early_walls[-1]*1000:.0f}ms "
+                f"steps {steps_used[-1]} flag {flags[-1]}")
+    setup_s = time.time() - setup_t0
+
+    warm_build_s = float(np.median(build_walls[1:] or build_walls))
+    early_rate = len(early_walls) / float(np.sum(early_walls))
+    p50_ms = 1000.0 * float(np.median(early_walls))
+    mean_plan_s = float(np.mean(early_walls))
     e2e_rate = 1.0 / (warm_build_s + mean_plan_s)
+    full_rate = (len(full_walls) / float(np.sum(full_walls))
+                 if full_walls else None)
 
     baseline_rate = 1.0 / 3.0  # reference per-plan budget (config.py:130)
     out = {
@@ -189,14 +165,13 @@ def main():
         "p50_plan_latency_ms": round(p50_ms, 2),
         "mean_plan_latency_ms": round(1000 * mean_plan_s, 2),
         "warm_goal_set_build_s": round(warm_build_s, 3),
-        "success_rate": round(success, 3),
-        "success_rate_full_budget": (round(success_full, 3)
-                                     if success_full is not None else None),
-        "mean_steps": round(float(steps_used.mean()), 1),
+        "success_rate": round(float(np.mean(flags)), 3),
+        "success_rate_full_budget": (round(float(np.mean(exec_full)), 3)
+                                     if exec_full else None),
+        "mean_steps": round(float(np.mean(steps_used)), 1),
         "mean_goals": round(float(np.mean(n_valid)), 1),
-        "batch_wall_s": round(best_early, 4),
-        "compile_s": round(compile_s, 2),
-        "setup_s": round(setup_s, 2),
+        "compile_s": {k: round(v, 2) for k, v in compile_walls.items()},
+        "total_wall_s": round(setup_s, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

@@ -129,13 +129,26 @@ def main():
 
     if args.experiment:
         cfg = cfg.replace(use_standoff=False)  # core.py:876
-        wins = 0
+        suite = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "suite_v2")
         t0 = time.time()
-        for sid in range(100):
-            scene = _load_scene(cfg, str(sid), args.obstacles)
-            wins += run_one(scene, f"scene_{sid}")
-            print(f"scene_{sid}: cumulative success {wins}/{sid + 1}")
-        print(f"total: {wins}/100 in {time.time() - t0:.1f}s")
+        if os.path.isdir(suite):
+            # the pinned hard suite, with execution validation
+            from .planner.runner import SuiteRunner
+
+            runner = SuiteRunner("output_suite", cfg.replace(silent=True),
+                                 scene_source="npz", suite_dir=suite)
+            out = runner.run(range(100))
+            print(f"total: {out['success']}/{out['total']} planned, "
+                  f"{out.get('exec_valid', '?')} execution-valid in "
+                  f"{time.time() - t0:.1f}s")
+        else:
+            wins = 0
+            for sid in range(100):
+                scene = _load_scene(cfg, str(sid), args.obstacles)
+                wins += run_one(scene, f"scene_{sid}")
+                print(f"scene_{sid}: cumulative success {wins}/{sid + 1}")
+            print(f"total: {wins}/100 in {time.time() - t0:.1f}s")
     elif args.perception:
         scene = _perception_plan(cfg, int(args.file), args.obstacles)
         if scene is not None:
