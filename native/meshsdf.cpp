@@ -154,6 +154,128 @@ extern "C" void mesh_sdf(const float* verts, int nv, const int* tris, int nt,
   for (auto& th : pool) th.join();
 }
 
+// Approximate convex decomposition (replaces the reference's external
+// testVHACD call, real_world/gen_convex_shape.py:15-50): voxelize the
+// interior, then greedily cover the occupied set with maximal axis-aligned
+// boxes (each box is a convex piece; boxes may overlap, which shrinks the
+// piece count).  Box pieces at voxel resolution are what a physics
+// compound shape needs from VHACD; curved hulls are approximated to the
+// chosen voxel size.  out_boxes: [max_pieces][6] = center xyz + half
+// extents in mesh coordinates; returns the piece count (or -1 if the
+// occupied set was not fully covered within max_pieces).
+extern "C" int mesh_convex_decompose(const float* verts, int nv,
+                                     const int* tris, int nt, float voxel,
+                                     int max_pieces, float* out_boxes,
+                                     int n_threads) {
+  std::vector<V3> va(nt), vb(nt), vc(nt);
+  float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
+  for (int v = 0; v < nv; ++v) {
+    lo[0] = std::min(lo[0], verts[3 * v]);
+    lo[1] = std::min(lo[1], verts[3 * v + 1]);
+    lo[2] = std::min(lo[2], verts[3 * v + 2]);
+    hi[0] = std::max(hi[0], verts[3 * v]);
+    hi[1] = std::max(hi[1], verts[3 * v + 1]);
+    hi[2] = std::max(hi[2], verts[3 * v + 2]);
+  }
+  for (int t = 0; t < nt; ++t) {
+    const int* f = tris + 3 * t;
+    va[t] = {verts[3 * f[0]], verts[3 * f[0] + 1], verts[3 * f[0] + 2]};
+    vb[t] = {verts[3 * f[1]], verts[3 * f[1] + 1], verts[3 * f[1] + 2]};
+    vc[t] = {verts[3 * f[2]], verts[3 * f[2] + 1], verts[3 * f[2] + 2]};
+  }
+  int nx = std::max(1, (int)std::ceil((hi[0] - lo[0]) / voxel));
+  int ny = std::max(1, (int)std::ceil((hi[1] - lo[1]) / voxel));
+  int nz = std::max(1, (int)std::ceil((hi[2] - lo[2]) / voxel));
+  std::vector<uint8_t> occ((size_t)nx * ny * nz, 0);
+  auto at = [&](int i, int j, int k) -> uint8_t& {
+    return occ[((size_t)i * ny + j) * nz + k];
+  };
+
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next_slab{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next_slab.fetch_add(1);
+      if (i >= nx) return;
+      float px = lo[0] + (i + 0.5f) * voxel;
+      for (int j = 0; j < ny; ++j) {
+        float py = lo[1] + (j + 0.5f) * voxel;
+        for (int k = 0; k < nz; ++k) {
+          V3 p{px, py, lo[2] + (k + 0.5f) * voxel};
+          int cx = 0, cy = 0, cz = 0;
+          for (int t = 0; t < nt; ++t) {
+            if (ray_hits<0>(p, va[t], vb[t], vc[t])) ++cx;
+            if (ray_hits<1>(p, va[t], vb[t], vc[t])) ++cy;
+            if (ray_hits<2>(p, va[t], vb[t], vc[t])) ++cz;
+          }
+          at(i, j, k) = ((cx % 2) + (cy % 2) + (cz % 2) >= 2) ? 1 : 0;
+        }
+      }
+    }
+  };
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  // greedy maximal-box cover
+  std::vector<uint8_t> covered((size_t)nx * ny * nz, 0);
+  auto cov = [&](int i, int j, int k) -> uint8_t& {
+    return covered[((size_t)i * ny + j) * nz + k];
+  };
+  auto all_occ = [&](int i0, int i1, int j0, int j1, int k0, int k1) {
+    for (int i = i0; i <= i1; ++i)
+      for (int j = j0; j <= j1; ++j)
+        for (int k = k0; k <= k1; ++k)
+          if (!at(i, j, k)) return false;
+    return true;
+  };
+  int n_pieces = 0;
+  for (int i = 0; i < nx; ++i)
+    for (int j = 0; j < ny; ++j)
+      for (int k = 0; k < nz; ++k) {
+        if (!at(i, j, k) || cov(i, j, k)) continue;
+        if (n_pieces >= max_pieces) return -1;
+        int i0 = i, i1 = i, j0 = j, j1 = j, k0 = k, k1 = k;
+        bool grew = true;
+        while (grew) {  // round-robin growth keeps boxes chunky
+          grew = false;
+          if (i1 + 1 < nx && all_occ(i1 + 1, i1 + 1, j0, j1, k0, k1)) {
+            ++i1; grew = true;
+          }
+          if (j1 + 1 < ny && all_occ(i0, i1, j1 + 1, j1 + 1, k0, k1)) {
+            ++j1; grew = true;
+          }
+          if (k1 + 1 < nz && all_occ(i0, i1, j0, j1, k1 + 1, k1 + 1)) {
+            ++k1; grew = true;
+          }
+          if (i0 - 1 >= 0 && all_occ(i0 - 1, i0 - 1, j0, j1, k0, k1)) {
+            --i0; grew = true;
+          }
+          if (j0 - 1 >= 0 && all_occ(i0, i1, j0 - 1, j0 - 1, k0, k1)) {
+            --j0; grew = true;
+          }
+          if (k0 - 1 >= 0 && all_occ(i0, i1, j0, j1, k0 - 1, k0 - 1)) {
+            --k0; grew = true;
+          }
+        }
+        for (int a = i0; a <= i1; ++a)
+          for (int b = j0; b <= j1; ++b)
+            for (int c = k0; c <= k1; ++c) cov(a, b, c) = 1;
+        float* box = out_boxes + 6 * n_pieces;
+        box[0] = lo[0] + 0.5f * (i0 + i1 + 1) * voxel;
+        box[1] = lo[1] + 0.5f * (j0 + j1 + 1) * voxel;
+        box[2] = lo[2] + 0.5f * (k0 + k1 + 1) * voxel;
+        box[3] = 0.5f * (i1 - i0 + 1) * voxel;
+        box[4] = 0.5f * (j1 - j0 + 1) * voxel;
+        box[5] = 0.5f * (k1 - k0 + 1) * voxel;
+        ++n_pieces;
+      }
+  return n_pieces;
+}
+
 // Sampled surface points with normals (replaces gen_xyz.py:49-75): uniform
 // area-weighted sampling would need RNG state; we emit per-triangle
 // centroids + vertices capped at max_points, which is what the collision

@@ -41,6 +41,10 @@ def _load():
     lib.mesh_surface_points.argtypes = [
         f32p, ctypes.c_int, i32p, ctypes.c_int, f32p, ctypes.c_int]
     lib.mesh_surface_points.restype = ctypes.c_int
+    lib.mesh_convex_decompose.argtypes = [
+        f32p, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_float,
+        ctypes.c_int, f32p, ctypes.c_int]
+    lib.mesh_convex_decompose.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -100,9 +104,59 @@ def surface_points(verts: np.ndarray, faces: np.ndarray,
     return out[:n]
 
 
-def process_mesh(path: str, out_dir: str | None = None, **kw):
+def convex_decompose(verts: np.ndarray, faces: np.ndarray,
+                     voxel: float = 0.01, max_pieces: int = 64,
+                     n_threads: int = 0) -> np.ndarray:
+    """Approximate convex decomposition (the reference shells out to
+    testVHACD, ``real_world/gen_convex_shape.py:15-50``): voxelize the
+    interior and cover it with maximal axis-aligned boxes.
+
+    Returns [K, 6] (center xyz, half extents) in mesh coordinates — the
+    pieces a physics compound collision shape consumes.  ``voxel``
+    coarsens automatically until the piece count fits ``max_pieces``.
+    """
+    lib = _load()
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    out = np.empty((max_pieces, 6), np.float32)
+    for _ in range(6):
+        n = lib.mesh_convex_decompose(
+            verts, len(verts), faces, len(faces), np.float32(voxel),
+            max_pieces, out, int(n_threads))
+        if n >= 0:
+            return out[:n].copy()
+        voxel *= 1.6
+    raise RuntimeError("convex decomposition did not converge "
+                       f"(> {max_pieces} pieces even at voxel={voxel:.3f})")
+
+
+def save_compound_obj(path: str, boxes: np.ndarray):
+    """Write box pieces as a grouped wavefront OBJ — one convex group per
+    piece, the format physics loaders (and the reference's VHACD output)
+    consume."""
+    with open(path, "w") as f:
+        f.write("# approximate convex decomposition (box pieces)\n")
+        vi = 1
+        for gi, (cx, cy, cz, hx, hy, hz) in enumerate(np.asarray(boxes)):
+            f.write(f"g piece_{gi}\n")
+            for sx in (-1, 1):
+                for sy in (-1, 1):
+                    for sz in (-1, 1):
+                        f.write(f"v {cx + sx * hx:.6f} {cy + sy * hy:.6f} "
+                                f"{cz + sz * hz:.6f}\n")
+            for a, b, c, d in ((0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+                               (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3)):
+                f.write(f"f {vi + a} {vi + b} {vi + c} {vi + d}\n")
+            vi += 8
+    return path
+
+
+def process_mesh(path: str, out_dir: str | None = None,
+                 convex: bool = False, **kw):
     """Full per-mesh asset generation (reference ``process_shape.py:86-179``):
-    SDF volume + surface points + extents, persisted next to the mesh."""
+    SDF volume + surface points + extents, persisted next to the mesh;
+    ``convex=True`` additionally writes ``<base>_convex.obj`` piece hulls
+    (the VHACD step of the reference pipeline)."""
     verts, faces = load_obj(path)
     sdf = mesh_to_sdf(verts, faces, **kw)
     pts = surface_points(verts, faces)
@@ -112,4 +166,9 @@ def process_mesh(path: str, out_dir: str | None = None, **kw):
     sdf.dump(os.path.join(out_dir, base + "_chomp.pkl"))
     np.savetxt(os.path.join(out_dir, base + ".xyz"), pts)
     np.savetxt(os.path.join(out_dir, base + ".extent.txt"), extents[None])
+    if convex:
+        boxes = convex_decompose(verts, faces,
+                                 voxel=float(extents.max()) / 24)
+        save_compound_obj(os.path.join(out_dir, base + "_convex.obj"),
+                          boxes)
     return sdf, pts, extents

@@ -64,3 +64,53 @@ def test_process_mesh(tmp_path):
     np.testing.assert_allclose(extents, 0.08, atol=1e-6)
     assert (tmp_path / "cube_chomp.pkl").exists()
     assert (tmp_path / "cube.xyz").exists()
+
+
+def lshape_mesh():
+    """A non-convex L-shaped solid (two cuboids): decomposition needs
+    more than one piece."""
+    from omg_planner_tpu.viz.raster import primitive_mesh
+
+    v1, f1 = primitive_mesh("box", [0.2, 0.1, 0.1])
+    v2, f2 = primitive_mesh("box", [0.1, 0.1, 0.2])
+    v2 = v2 + np.array([0.05, 0.0, 0.15])  # stands on one end of the slab
+    v = np.concatenate([v1, v2]).astype(np.float32)
+    f = np.concatenate([f1, f2 + len(v1)]).astype(np.int32)
+    return v, f
+
+
+def test_convex_decompose_cube_is_one_box():
+    from omg_planner_tpu.io.meshsdf import convex_decompose
+    v, f = unit_cube_mesh(0.1)
+    boxes = convex_decompose(v, f, voxel=0.01)
+    assert len(boxes) == 1
+    c, h = boxes[0, :3], boxes[0, 3:]
+    assert np.abs(c).max() < 0.01
+    assert np.abs(h - 0.05).max() < 0.011, boxes
+
+
+def test_convex_decompose_lshape():
+    from omg_planner_tpu.io.meshsdf import convex_decompose
+    v, f = lshape_mesh()
+    boxes = convex_decompose(v, f, voxel=0.01)
+    assert 2 <= len(boxes) <= 8, len(boxes)
+    # the pieces must cover both lobes
+    def covers(p):
+        p = np.asarray(p)
+        return any(np.all(np.abs(p - b[:3]) <= b[3:] + 1e-6) for b in boxes)
+    assert covers([-0.08, 0.0, 0.0])   # slab lobe
+    assert covers([0.05, 0.0, 0.2])    # tower lobe
+    # nothing covers free space beside the tower
+    assert not covers([-0.08, 0.0, 0.2])
+
+
+def test_compound_obj_round_trip(tmp_path):
+    from omg_planner_tpu.io.meshsdf import (
+        convex_decompose, load_obj, save_compound_obj)
+    v, f = lshape_mesh()
+    boxes = convex_decompose(v, f, voxel=0.01)
+    p = str(tmp_path / "l_convex.obj")
+    save_compound_obj(p, boxes)
+    verts, faces = load_obj(p)
+    assert len(verts) == 8 * len(boxes)
+    assert len(faces) == 12 * len(boxes)  # 6 quads -> 12 tris per piece
