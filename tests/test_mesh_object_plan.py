@@ -1,0 +1,74 @@
+"""Mesh objects end-to-end: OBJ -> native voxelizer SDF + surface points +
+convex pieces -> SceneObject -> a successful grasp plan.
+
+Closes VERDICT r1 "mesh objects end-to-end": a real triangle mesh enters
+the planner through the same offline pipeline the reference runs
+(SDFGen/VHACD there; ``native/meshsdf.cpp`` here), not just primitives.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None, reason="no C++ toolchain")
+
+from omg_planner_tpu.config import OMGConfig
+from omg_planner_tpu.io.assets import (
+    SceneObject, make_primitive, pose_at, synthetic_grasp_db)
+from omg_planner_tpu.planner.scene import Env, PlanningScene
+
+
+def tall_box_mesh(w=0.055, d=0.055, h=0.16):
+    from omg_planner_tpu.viz.raster import primitive_mesh
+
+    v, f = primitive_mesh("box", [w, d, h])
+    return v.astype(np.float32), f.astype(np.int32)
+
+
+def mesh_scene_object(name, verts, faces, pose, target=False):
+    """The full offline pipeline on an in-memory mesh: voxelize, sample
+    surface points, bound extents, box-fit a grasp DB."""
+    from omg_planner_tpu.io.meshsdf import (
+        convex_decompose, mesh_to_sdf, surface_points)
+
+    sdf = mesh_to_sdf(verts, faces, delta=0.0075, padding=12)
+    sdf.penalize_inside(5.0)
+    pts = surface_points(verts, faces, max_points=500)
+    extents = verts.max(0) - verts.min(0)
+    grasps = synthetic_grasp_db("box", extents) if target else None
+    obj = SceneObject(name, sdf, pose, target=target,
+                      compute_grasp=target, grasps_poses=grasps,
+                      extents=extents, points=pts)
+    obj.kind = "box"
+    # convex pieces exist for the physics side of the pipeline
+    pieces = convex_decompose(verts, faces, voxel=0.015)
+    assert len(pieces) >= 1
+    return obj
+
+
+def test_mesh_object_grasp_plan():
+    cfg = OMGConfig(silent=True, optim_steps=20, extra_smooth_steps=6,
+                    goal_set_max_num=15, ik_seed_num=3, ik_max_iters=35,
+                    learner_interp_steps=10)
+    v, f = tall_box_mesh()
+    env = Env(cfg)
+    env.add_object(make_primitive(
+        "table", "box", [0.9, 1.2, 0.04], pose_at([0.5, 0.0, -0.02]),
+        compute_grasp=False))
+    env.add_object(mesh_scene_object(
+        "mesh_can", v, f, pose_at([0.52, 0.05, 0.08]), target=True))
+    env.set_target("mesh_can")
+
+    scene = PlanningScene(cfg, env)
+    res = scene.step(fast=True)
+    assert res is not None, "goal set empty for the mesh target"
+    assert bool(res.flag), (int(res.info.collide), float(res.info.smooth))
+
+    # the validator agrees the grasp closes on the mesh
+    from omg_planner_tpu.planner.validate import validate_execution
+
+    rep = validate_execution(scene, np.asarray(res.traj))
+    assert rep.grasp_ok
+    assert rep.swept_collision_points == 0
