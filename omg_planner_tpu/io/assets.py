@@ -88,6 +88,10 @@ class SceneObject:
         self.attached = False
         self.rel_hand_pose = None
         self.points = points  # [K, 3] surface points (attached collision)
+        # optional true triangle mesh (verts [V, 3], faces [F, 3]) for
+        # mesh-backed objects; viz/raster renders it instead of the
+        # primitive proxy when present
+        self.mesh: tuple | None = None
 
     def update_pose(self, pose_mat: np.ndarray):
         self.pose_mat = np.asarray(pose_mat, np.float64)

@@ -112,10 +112,13 @@ def render_rgb(
     seg = np.full((height, width), -1)
 
     for oi, o in enumerate(objects):
-        kind = getattr(o, "kind", "box")
-        ext = (o.extents if o.extents is not None
-               else np.array([0.06, 0.06, 0.06]))
-        v, f = primitive_mesh(kind, ext)
+        if getattr(o, "mesh", None) is not None:
+            v, f = o.mesh          # true triangle mesh when available
+        else:
+            kind = getattr(o, "kind", "box")
+            ext = (o.extents if o.extents is not None
+                   else np.array([0.06, 0.06, 0.06]))
+            v, f = primitive_mesh(kind, ext)
         w = v @ o.pose_mat[:3, :3].T + o.pose_mat[:3, 3]
         cam = w @ view[:3, :3].T + view[:3, 3]
         base = (PALETTE[oi % len(PALETTE)] if not o.target

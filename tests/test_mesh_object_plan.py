@@ -42,6 +42,7 @@ def mesh_scene_object(name, verts, faces, pose, target=False):
                       compute_grasp=target, grasps_poses=grasps,
                       extents=extents, points=pts)
     obj.kind = "box"
+    obj.mesh = (verts, faces)  # true geometry for viz/raster
     # convex pieces exist for the physics side of the pipeline
     pieces = convex_decompose(verts, faces, voxel=0.015)
     assert len(pieces) >= 1
@@ -72,3 +73,9 @@ def test_mesh_object_grasp_plan():
     rep = validate_execution(scene, np.asarray(res.traj))
     assert rep.grasp_ok
     assert rep.swept_collision_points == 0
+
+    # the rasterizer draws the TRUE mesh (not the primitive proxy)
+    from omg_planner_tpu.viz.raster import render_rgb
+
+    _, _, seg = render_rgb(env.objects)
+    assert (seg == 1).sum() > 20
