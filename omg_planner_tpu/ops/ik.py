@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..config import OMGConfig
 from ..models import panda
+from ..utils.linalg import solve_spd_unrolled, take_rows
 from ..utils.pose import so3_angle, so3_log
 
 
@@ -74,7 +75,7 @@ def ik_single(
         it, q, _ = state
         e, jac = error_and_jac(q)
         jjt = jac @ jac.T + lam * jnp.eye(6, dtype=q.dtype)
-        dq = jac.T @ jnp.linalg.solve(jjt, e)
+        dq = jac.T @ solve_spd_unrolled(jjt, e)
         dq = jnp.clip(dq, -0.5, 0.5)
         q = jnp.clip(q + dq, lower7, upper7)
         return it + 1, q, jnp.linalg.norm(e)
@@ -142,7 +143,7 @@ def ik_batch(
         it, q, _ = state
         e, jac = _batch_error_and_jac(model, q, targets)
         jjt = jnp.einsum("bij,bkj->bik", jac, jac) + lam * eye6
-        sol = jnp.linalg.solve(jjt, e[..., None])[..., 0]
+        sol = solve_spd_unrolled(jjt, e)
         dq = jnp.einsum("bij,bi->bj", jac, sol)
         dq = jnp.clip(dq, -0.5, 0.5)
         q = jnp.clip(q + dq, lower7, upper7)
@@ -185,7 +186,7 @@ def ik_batch_fixed(
     def body(_, q):
         e, jac = _batch_error_and_jac(model, q, targets)
         jjt = jnp.einsum("bij,bkj->bik", jac, jac) + lam * eye6
-        sol = jnp.linalg.solve(jjt, e[..., None])[..., 0]
+        sol = solve_spd_unrolled(jjt, e)
         dq = jnp.clip(jnp.einsum("bij,bi->bj", jac, sol), -0.5, 0.5)
         return jnp.clip(q + dq, lower7, upper7)
 
@@ -286,10 +287,14 @@ def solve_goal_set(
         score = jnp.where(lane_valid, err_pre, jnp.inf)
         k_cap = min(b, cfg.ik_survivor_cap) if cfg.ik_survivor_cap else b
         lane_idx = jax.lax.top_k(-score, k_cap)[1]
-        tgt = tgt[lane_idx]
-        seeds_b = q_pre[lane_idx]
-        lane_valid = lane_valid[lane_idx]
-        active = lane_valid & (err_pre[lane_idx] < cfg.ik_prefilter_tol)
+        # take_rows: plain a[idx] lowers to lax.gather with slice_sizes>1,
+        # ~50x slower than scalar takes on v5e (41 ms for this [624,5,4,4]
+        # compaction alone; DESIGN.md §3b).
+        tgt = take_rows(tgt, lane_idx)
+        seeds_b = take_rows(q_pre, lane_idx)
+        lane_valid = jnp.take(lane_valid, lane_idx)
+        active = lane_valid & (jnp.take(err_pre, lane_idx)
+                               < cfg.ik_prefilter_tol)
         b = k_cap
     else:
         lane_idx = jnp.arange(b, dtype=jnp.int32)
