@@ -165,6 +165,14 @@ class OMGConfig:
     ik_prefilter_iters: int = 12
     ik_prefilter_tol: float = 0.05
     ik_survivor_cap: int = 384
+    # compact candidate lanes to at most this many valid ones before the
+    # collision prune / dedupe stages (goal_set.py): invalid lanes (failed
+    # IK, limit-violating flips, task-space-filtered) need no collision
+    # check, and the dedupe's O(C^2) distances + O(C) greedy scan shrink
+    # with the cap. If more than `goal_prune_cap` lanes are valid, a
+    # uniform (Gumbel top-k) subsample survives — same distribution the
+    # final `sample_goals` stage applies anyway. 0 disables.
+    goal_prune_cap: int = 512
 
     def replace(self, **kw) -> "OMGConfig":
         return dataclasses.replace(self, **kw)

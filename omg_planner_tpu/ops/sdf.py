@@ -503,9 +503,20 @@ def bake_world_potential(
     resolution: float = 0.015,
     bounds=WORLD_BOUNDS,
     chunk: int = 65536,
+    nearest: bool = True,
 ) -> WorldPotential:
     """Evaluate the summed hinge potential on a world grid (device-side,
-    once per scene; amortized over every learner step)."""
+    once per scene; amortized over every learner step).
+
+    ``nearest=True`` reads each object volume at the NEAREST cell (1 gather
+    per cell x object) instead of the exact 8-corner trilinear stencil —
+    the round-2 profile showed the exact bake at ~0.7 s/scene (~100 M
+    gathers at the v5e's ~150 M/s latency ceiling), the single largest
+    piece of problem staging.  The added error (<= half an object grid
+    cell, ~5 mm) is below the world grid's own 15 mm discretization, and
+    the scoring field only ranks goal candidates; it matches the
+    reference's own nearest-cell host lookup (``sdf_tools.py:47-64``).
+    """
     lo, hi = bounds
     dims = tuple(int(np.ceil((hi[i] - lo[i]) / resolution)) for i in range(3))
     ax = [lo[i] + (jnp.arange(dims[i]) + 0.5) * resolution for i in range(3)]
@@ -515,10 +526,43 @@ def bake_world_potential(
     pad = (-n) % chunk
     cells = jnp.concatenate([cells, jnp.zeros((pad, 3))], axis=0)
 
-    def body(c):
-        pot, _, _ = sdf_potentials(scene, inv_poses, c, epsilons,
-                                   padding_scales, clearances, disables)
-        return pot
+    if nearest:
+        o = scene.num_objects
+        vals = (scene.data4[..., 0] if isinstance(scene, BakedSceneSDF)
+                else scene.data)                       # [O, X, Y, Z]
+        vcells = int(np.prod(vals.shape[1:4]))
+        flat_all = vals.reshape(o * vcells)
+        r = inv_poses[:, :3, :3]
+        t = inv_poses[:, :3, 3]
+        obj_off = (jnp.arange(o, dtype=jnp.int32) * vcells)[:, None]
+        d_i32 = scene.limits[:, 6:9].astype(jnp.int32)
+        mn = scene.limits[:, 0:3]
+        mx = scene.limits[:, 3:6]
+        keep = (disables <= 0)
+        eps = epsilons[:, None]
+        padm = padding_scales[:, None]
+
+        def body(c):  # c: [chunk, 3] world points
+            pts_obj = jnp.einsum("oab,pb->opa", r, c) + t[:, None, :]
+            pg = ((pts_obj - mn[:, None, :]) / (mx - mn)[:, None, :]
+                  * d_i32[:, None, :].astype(c.dtype))
+            idx = jnp.floor(pg).astype(jnp.int32)
+            inb = jnp.all((idx >= 0) & (idx < d_i32[:, None, :]), axis=-1)
+            ic = jnp.clip(idx, 0, d_i32[:, None, :] - 1)
+            lin = ((ic[..., 0] * d_i32[:, None, 1] + ic[..., 1])
+                   * d_i32[:, None, 2] + ic[..., 2]) + obj_off  # [O, chunk]
+            value = jnp.where(
+                inb, jnp.take(flat_all, lin.reshape(-1)).reshape(o, -1), 1.0)
+            inside = value <= 0
+            band = (value > 0) & (value <= eps)
+            pot = jnp.where(inside, -value + 0.5 * eps, 0.0)
+            pot = jnp.where(band, (value - eps) ** 2 / (2 * eps) * padm, pot)
+            return jnp.where(keep[:, None], pot, 0.0).sum(0)
+    else:
+        def body(c):
+            pot, _, _ = sdf_potentials(scene, inv_poses, c, epsilons,
+                                       padding_scales, clearances, disables)
+            return pot
 
     pots = jax.lax.map(body, cells.reshape(-1, chunk, 3))
     data = pots.reshape(-1)[:n].reshape(dims)

@@ -26,6 +26,7 @@ from ..models import panda
 from ..ops import ik as ik_ops
 from ..ops.chomp import CostParams, GoalSet
 from ..ops.sdf import SceneSDF, sdf_potentials
+from ..utils.linalg import take_rows
 from ..utils.pose import rot_y, rot_z
 from ..utils.spline import multi_linear_interpolate
 
@@ -165,7 +166,9 @@ def diversity_dedupe(configs: jnp.ndarray, valid: jnp.ndarray,
         return kept.at[i].set(keep_i), keep_i
 
     kept0 = jnp.zeros(c, bool)
-    kept, _ = jax.lax.scan(body, kept0, jnp.arange(c))
+    # unroll: the body is a handful of elementwise ops on [C] lanes; at
+    # C~1e3 the scan is pure loop-overhead-bound on TPU (~45 us/iter)
+    kept, _ = jax.lax.scan(body, kept0, jnp.arange(c), unroll=16)
     return kept
 
 
@@ -219,7 +222,7 @@ def build_goal_set(
         scores = jnp.where(valid, gumbel, -jnp.inf)
         top = jax.lax.top_k(scores, 10)
         extra = jnp.where(jnp.isfinite(top[0])[:, None],
-                          standoff[top[1], :7], seeds[0][None])
+                          take_rows(standoff, top[1])[:, :7], seeds[0][None])
         reach2, standoff2, valid2, _ = solve(
             model, cfg, grasp_poses_world, extra, lo[:7], hi[:7], attached,
             grasp_valid=grasp_valid)
@@ -239,14 +242,34 @@ def build_goal_set(
     if cfg.remove_flip_grasp and not attached:
         valid = task_space_filter(model, cfg, start, reach, valid)
 
+    if cfg.goal_prune_cap and cfg.goal_prune_cap < reach.shape[0]:
+        # Compact to valid lanes before the expensive collision prune and
+        # the O(C^2) dedupe: invalid lanes need no collision check. Gumbel
+        # top-k = uniform subsample if (rarely) more than cap lanes are
+        # valid; sorting the survivors preserves the greedy dedupe's
+        # original lane order, so when valid-count <= cap the result is
+        # bit-identical to the uncompacted pipeline. fold_in (not split)
+        # keeps the main key stream unchanged so downstream sampling —
+        # and therefore every committed snapshot — is unaffected.
+        sub = jax.random.fold_in(key, 0x9d5)
+        g = jax.random.gumbel(sub, valid.shape)
+        sel = jnp.sort(
+            jax.lax.top_k(jnp.where(valid, g, -jnp.inf),
+                          cfg.goal_prune_cap)[1])
+        reach = take_rows(reach, sel)
+        standoff = take_rows(standoff, sel)
+        valid = jnp.take(valid, sel)
+
     valid, potentials = collision_prune(
         model, scene, params, cfg, standoff, valid)
     kept = diversity_dedupe(standoff, valid)
     idx, mask = sample_goals(key, kept, cfg.goal_set_max_num)
 
-    reach_sel = reach[idx]
-    standoff_sel = standoff[idx]
-    pot_sel = potentials[idx]
+    # take_rows: a[idx] on multi-dim rows lowers to the slow slice_sizes>1
+    # lax.gather on v5e (DESIGN.md §3b)
+    reach_sel = take_rows(reach, idx)
+    standoff_sel = take_rows(standoff, idx)
+    pot_sel = jnp.take(potentials, idx)
     grasps_sel = reach_sel[:, -1] if cfg.use_standoff else standoff_sel
 
     if cfg.grasp_optimize:

@@ -23,10 +23,12 @@ from ..io.assets import (DEFAULT_END, DEFAULT_START, SceneObject,
                          synthetic_tabletop_scene)
 from ..models import panda
 from ..ops.chomp import CostParams, GoalSet
-from ..ops.sdf import (SceneSDF, WorldPotential, bake_world_potential,
-                       combine_sdfs)
+from ..ops.sdf import (SceneSDF, WorldPotential, bake_scene,
+                       bake_world_potential, combine_sdfs)
 from . import goal_set as gs
 from . import plan as plan_mod
+
+_bake_scene_jit = jax.jit(bake_scene)
 
 
 class Env:
@@ -103,8 +105,10 @@ class Env:
         if self._scene_sdf is None:
             stack = combine_sdfs([o.sdf for o in self.objects])
             if self.cfg.sdf_baked:
-                from ..ops.sdf import bake_scene
-                stack = jax.jit(bake_scene)(stack)
+                # module-level jit: a fresh jax.jit(bake_scene) wrapper per
+                # staging re-paid tracing + lowering (~100s of ms) every
+                # scene even with the executable cached
+                stack = _bake_scene_jit(stack)
             self._scene_sdf = stack
         return self._scene_sdf
 
