@@ -222,6 +222,25 @@ def _bake_wf_fn(cfg: OMGConfig):
 
 
 @functools.lru_cache(maxsize=64)
+def _goal_init_fn(cfg: OMGConfig):
+    """Goal policy + spline init fused into one dispatch (pass
+    ``cfg.jit_key()``): eager ops pay a network round trip each on the
+    remote-TPU tunnel."""
+
+    def f(goal_set, start):
+        gi = gs.goal_idx_policy(cfg, goal_set, start)
+        end = goal_set.grasps[gi]
+        return gi, end, plan_mod.init_trajectory(cfg, start, end)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _init_traj_fn(cfg: OMGConfig):
+    return jax.jit(lambda s, e: plan_mod.init_trajectory(cfg, s, e))
+
+
+@functools.lru_cache(maxsize=64)
 def _goal_set_fn(cfg: OMGConfig, attached: bool, z_up: bool, y_up: bool):
     """Jitted goal-set builder for a (cfg, attachment) mode."""
 
@@ -378,17 +397,25 @@ class PlanningScene:
         self.goal_set = goal_set
 
         # initial goal + trajectory (grasp_init, planner.py:188-223)
-        if cfg.goal_set_proj and int(goal_set.mask.sum()) > 0:
-            gi = gs.goal_idx_policy(cfg, goal_set, start)
-            end = goal_set.grasps[gi]
-        if cfg.dynamic_timestep:
-            # horizon from start-goal distance (core.py:64-75); changes the
-            # static T -> per-T jit cache entry
-            t_dyn = cfg.dynamic_timesteps(self.start, np.asarray(end))
-            if t_dyn != cfg.timesteps:
-                cfg = cfg.replace(timesteps=t_dyn)
-                self.cfg = cfg
-        traj0 = plan_mod.init_trajectory(cfg, start, end)
+        self._n_valid_goals = int(goal_set.mask.sum())  # one device sync
+        have_goals = cfg.goal_set_proj and self._n_valid_goals > 0
+        if have_goals and not cfg.dynamic_timestep:
+            # fused: goal policy + spline init as ONE device program (each
+            # eager op costs a tunnel round trip on remote TPU)
+            _, end, traj0 = _goal_init_fn(cfg.jit_key())(goal_set, start)
+        else:
+            if have_goals:
+                gi = gs.goal_idx_policy(cfg, goal_set, start)
+                end = goal_set.grasps[gi]
+            if cfg.dynamic_timestep:
+                # horizon from start-goal distance (core.py:64-75); changes
+                # the static T -> per-T jit cache entry; needs `end` on host
+                t_dyn = cfg.dynamic_timesteps(self.start, np.asarray(end))
+                if t_dyn != cfg.timesteps:
+                    cfg = cfg.replace(timesteps=t_dyn)
+                    self.cfg = cfg
+            traj0 = _init_traj_fn(cfg.jit_key())(
+                jnp.asarray(start), jnp.asarray(end))
         lo, hi = self.model.soft_limits(cfg.soft_joint_limit_padding)
         return plan_mod.PlanProblem(
             start=start, end=end, traj_init=traj0, goal_set=goal_set,
@@ -443,12 +470,13 @@ class PlanningScene:
         """One full plan (reference ``PlanningScene.step``,
         ``omg/core.py:694-699``)."""
         problem = self.build_problem()
-        if self.cfg.goal_set_proj and int(problem.goal_set.mask.sum()) == 0:
+        n_valid = self._n_valid_goals
+        if self.cfg.goal_set_proj and n_valid == 0:
             if not self.cfg.silent:
                 print("planning not run... (empty goal set)")
             return None
         if self.cfg.report_time:
-            print(f"goal set num: {int(problem.goal_set.mask.sum())}")
+            print(f"goal set num: {n_valid}")
         t0 = time.time()
         result = self._get_plan_fn(fast)(self.model, problem)
         result = jax.tree.map(lambda x: np.asarray(x), result)

@@ -121,3 +121,35 @@ def test_rotations():
     np.testing.assert_allclose(
         np.array(pose.rot_y(np.pi / 2))[:3, :3],
         np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]]), atol=1e-6)
+
+
+def test_solve_spd_unrolled_matches_linalg_solve():
+    from omg_planner_tpu.utils.linalg import solve_spd_unrolled
+
+    rng = np.random.RandomState(7)
+    for n in (3, 6):
+        j = rng.randn(64, n, 9).astype(np.float32)
+        a = jnp.einsum("bij,bkj->bik", j, j) + 1e-4 * jnp.eye(n)
+        b = jnp.asarray(rng.randn(64, n).astype(np.float32))
+        x = solve_spd_unrolled(a, b)
+        ref = jnp.linalg.solve(a, b[..., None])[..., 0]
+        np.testing.assert_allclose(np.array(x), np.array(ref),
+                                   rtol=2e-4, atol=2e-5)
+    # unbatched path (used by ik_single under vmap-free call)
+    a1 = a[0]
+    b1 = b[0]
+    np.testing.assert_allclose(
+        np.array(solve_spd_unrolled(a1, b1)),
+        np.array(jnp.linalg.solve(a1, b1[..., None])[..., 0]),
+        rtol=2e-4, atol=2e-5)
+
+
+def test_take_rows_matches_fancy_indexing():
+    from omg_planner_tpu.utils.linalg import take_rows
+
+    rng = np.random.RandomState(3)
+    idx = jnp.asarray(rng.permutation(40)[:17].astype(np.int32))
+    for shape in ((40,), (40, 9), (40, 5, 4, 4)):
+        a = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        np.testing.assert_array_equal(np.array(take_rows(a, idx)),
+                                      np.array(a[idx]))
