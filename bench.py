@@ -64,7 +64,7 @@ def main():
 
     from omg_planner_tpu.config import OMGConfig
     from omg_planner_tpu.models import panda
-    from omg_planner_tpu.ops.sdf import bake_scene, combine_sdfs
+    from omg_planner_tpu.ops.sdf import stage_scene_sdfs
     from omg_planner_tpu.planner.plan import plan_fast
     from omg_planner_tpu.planner.scene import PlanningScene
 
@@ -81,10 +81,9 @@ def main():
                                      os.path.join(SUITE, f"scene_{sid}.npz"))
               for sid in range(n)]
     all_shapes = np.array([
-        o.sdf.data.shape for s in scenes for o in s.env.objects])
+        o.sdf.shape for s in scenes for o in s.env.objects])
     pad_to = tuple(all_shapes.max(axis=0))
     max_obj = max(len(s.env.objects) for s in scenes)
-    bake = jax.jit(bake_scene)
 
     from omg_planner_tpu.parallel.batch import pad_objects
 
@@ -92,10 +91,13 @@ def main():
     n_valid, flags, steps_used, exec_full = [], [], [], []
     compile_walls = {}
     for k, scene in enumerate(scenes):
-        stack = combine_sdfs([o.sdf for o in scene.env.objects],
-                             pad_to=pad_to)
-        scene.env._scene_sdf = bake(stack) if cfg.sdf_baked else stack
+        # SDF staging INSIDE the timed build: with device-side analytic
+        # synthesis it is one small dispatch, so the e2e metric can afford
+        # to be honest about it (round 1 staged outside the clock)
         t0 = time.time()
+        scene.env._scene_sdf = stage_scene_sdfs(
+            [o.sdf for o in scene.env.objects], baked=cfg.sdf_baked,
+            pad_to=pad_to)
         problem = scene.build_problem()
         jax.block_until_ready(problem.goal_set.grasps)
         build_walls.append(time.time() - t0)

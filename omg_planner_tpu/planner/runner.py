@@ -76,7 +76,7 @@ class SuiteRunner:
         from ..models import panda
         from ..parallel.batch import pad_objects
         from ..planner.plan import plan_fast
-        from ..ops.sdf import bake_scene, combine_sdfs
+        from ..ops.sdf import stage_scene_sdfs
         from .validate import validate_execution
 
         pending = self.pending(scene_ids)
@@ -86,11 +86,10 @@ class SuiteRunner:
         exec_wins = sum(v.get("exec_valid", False)
                         for v in self.manifest["done"].values())
         plan_one = jax.jit(plan_fast, static_argnums=(1,))
-        bake = jax.jit(bake_scene)
 
         scenes = {sid: self._make_scene(sid) for sid in pending}
         if scenes:
-            shapes = np.array([o.sdf.data.shape
+            shapes = np.array([o.sdf.shape
                                for s in scenes.values()
                                for o in s.env.objects])
             pad_to = tuple(shapes.max(axis=0))
@@ -98,10 +97,9 @@ class SuiteRunner:
 
         for sid in pending:
             sc = scenes[sid]
-            stack = combine_sdfs([o.sdf for o in sc.env.objects],
-                                 pad_to=pad_to)
-            sc.env._scene_sdf = (bake(stack) if self.cfg.sdf_baked
-                                 else stack)
+            sc.env._scene_sdf = stage_scene_sdfs(
+                [o.sdf for o in sc.env.objects], baked=self.cfg.sdf_baked,
+                pad_to=pad_to)
             t0 = time.time()
             problem = sc.build_problem()
             if (self.cfg.goal_set_proj

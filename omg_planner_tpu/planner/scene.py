@@ -23,13 +23,10 @@ from ..io.assets import (DEFAULT_END, DEFAULT_START, SceneObject,
                          synthetic_tabletop_scene)
 from ..models import panda
 from ..ops.chomp import CostParams, GoalSet
-from ..ops.sdf import (SceneSDF, WorldPotential, bake_scene,
-                       bake_world_potential, combine_sdfs)
+from ..ops.sdf import (SceneSDF, WorldPotential, bake_world_potential,
+                       stage_scene_sdfs)
 from . import goal_set as gs
 from . import plan as plan_mod
-
-_bake_scene_jit = jax.jit(bake_scene)
-
 
 class Env:
     """Scene container (reference ``Env``, ``omg/core.py:243-411``)."""
@@ -103,13 +100,12 @@ class Env:
     # -- staging ----------------------------------------------------------
     def scene_sdf(self) -> SceneSDF:
         if self._scene_sdf is None:
-            stack = combine_sdfs([o.sdf for o in self.objects])
-            if self.cfg.sdf_baked:
-                # module-level jit: a fresh jax.jit(bake_scene) wrapper per
-                # staging re-paid tracing + lowering (~100s of ms) every
-                # scene even with the executable cached
-                stack = _bake_scene_jit(stack)
-            self._scene_sdf = stack
+            # analytic-primitive scenes synthesize the padded stack (and
+            # the baked gradient channels) ON DEVICE in one dispatch —
+            # ~13 floats/object cross the tunnel instead of a ~23 MB
+            # padded volume stack (ops/sdf.py::stage_scene_sdfs)
+            self._scene_sdf = stage_scene_sdfs(
+                [o.sdf for o in self.objects], baked=self.cfg.sdf_baked)
         return self._scene_sdf
 
     def cost_params(self) -> CostParams:

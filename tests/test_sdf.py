@@ -185,3 +185,46 @@ def test_baked_matches_exact_interior():
     np.testing.assert_allclose(np.array(p1), np.array(p2), atol=1e-5)
     np.testing.assert_allclose(np.array(c1), np.array(c2), atol=0)
     np.testing.assert_allclose(np.array(g1), np.array(g2), atol=1e-3)
+
+
+def test_device_synth_matches_host_combine():
+    """Device-side analytic stack synthesis (stage_scene_sdfs) must
+    reproduce the host combine_sdfs+bake path: same limits, same padded
+    volumes (f32-rounding tolerance), same baked gradient channels."""
+    import jax
+    from omg_planner_tpu.ops.sdf import bake_scene, stage_scene_sdfs
+
+    fields = [
+        SignedDensityField.from_analytic("box", [0.1, 0.24, 0.06],
+                                         delta=0.008),
+        SignedDensityField.from_analytic("sphere", [0.05], delta=0.006),
+        SignedDensityField.from_analytic("cylinder", [0.03, 0.14],
+                                         delta=0.0075),
+    ]
+    fields[0].penalize_inside(5.0)
+    fields[1].penalize_inside(5.0).resize(1.5)
+
+    ref = jax.jit(bake_scene)(combine_sdfs(fields, pad_to=(64, 64, 64)))
+    out = stage_scene_sdfs(fields, baked=True, pad_to=(64, 64, 64))
+    np.testing.assert_allclose(np.array(out.limits), np.array(ref.limits),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.array(out.data4), np.array(ref.data4),
+                               atol=2e-5)
+    # unbaked variant + fallback parity when one field is data-backed
+    out2 = stage_scene_sdfs(fields, baked=False)
+    ref2 = combine_sdfs(fields)
+    np.testing.assert_allclose(np.array(out2.data), np.array(ref2.data),
+                               atol=5e-6)
+    grid = SignedDensityField(fields[1].data.copy(), fields[1].origin,
+                              fields[1].delta)
+    mixed = stage_scene_sdfs([fields[0], grid], baked=False)
+    refm = combine_sdfs([fields[0], grid])
+    np.testing.assert_array_equal(np.array(mixed.data), np.array(refm.data))
+
+
+def test_lazy_analytic_grid_is_deferred():
+    f = SignedDensityField.from_analytic("box", [0.1, 0.1, 0.1], delta=0.01)
+    assert f._data is None and f.analytic is not None
+    assert f.shape == (f.nx, f.ny, f.nz)
+    _ = f.data  # materializes
+    assert f._data is not None and f._data.shape == f.shape
