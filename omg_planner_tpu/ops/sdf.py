@@ -306,6 +306,47 @@ def _synth_stack(kind, half, penal, origin, delta, dims, bucket):
     return jnp.where(pad_ok, d, 1.0)
 
 
+def _analytic_sdf_points(kind, half, penal, p):
+    """Analytic primitive SDF at object-frame points ``p [O, ..., 3]``
+    (same box/sphere/cylinder formulas as :func:`_synth_stack`, at
+    arbitrary points instead of separable grid axes), with the inside
+    penalty applied."""
+    hb = half[(...,) + (None,) * (p.ndim - 2) + (slice(None),)]
+    q = jnp.abs(p) - hb
+    qx, qy, qz = q[..., 0], q[..., 1], q[..., 2]
+    box = (jnp.sqrt(jnp.maximum(qx, 0.0) ** 2 + jnp.maximum(qy, 0.0) ** 2
+                    + jnp.maximum(qz, 0.0) ** 2)
+           + jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0))
+    rad = hb[..., 0]
+    sph = jnp.sqrt((p * p).sum(-1)) - rad
+    dr = jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2) - rad
+    cyl = (jnp.sqrt(jnp.maximum(dr, 0.0) ** 2 + jnp.maximum(qz, 0.0) ** 2)
+           + jnp.minimum(jnp.maximum(dr, qz), 0.0))
+    k = kind[(...,) + (None,) * (p.ndim - 2)]
+    d = jnp.where(k == 0, box, jnp.where(k == 1, sph, cyl))
+    pen = penal[(...,) + (None,) * (p.ndim - 2)]
+    return jnp.where(d < 0.0, d * pen, d)
+
+
+def analytic_prim_arrays(fields: Sequence[SignedDensityField],
+                         pad_to: tuple | None = None,
+                         pad_multiple: int = 16):
+    """Per-object analytic metadata for device synthesis, or None when any
+    field is data-backed: ``(kinds, halfs, penals, origins, deltas,
+    dims_actual, limits, max_shape)`` — everything a jitted program needs
+    to reproduce the voxelized stack without touching host grids."""
+    if not fields or any(f.analytic is None for f in fields):
+        return None
+    limits, max_shape = scene_limits(fields, pad_to, pad_multiple)
+    return (np.array([f.analytic[0] for f in fields], np.int32),
+            np.array([f.analytic[1] for f in fields], np.float32),
+            np.array([f.analytic[2] for f in fields], np.float32),
+            np.array([f.origin for f in fields], np.float32),
+            np.array([f.delta for f in fields], np.float32),
+            np.array([f.shape for f in fields], np.int32),
+            limits, max_shape)
+
+
 @functools.lru_cache(maxsize=32)
 def _synth_fn(bucket: tuple, baked: bool):
     def f(kind, half, penal, origin, delta, dims, limits):
@@ -334,14 +375,9 @@ def stage_scene_sdfs(fields: Sequence[SignedDensityField],
     reference volumes, point-cloud SDFs) fall back to host stacking.
     """
     global _bake_scene_jit
-    if fields and all(f.analytic is not None for f in fields):
-        limits, max_shape = scene_limits(fields, pad_to, pad_multiple)
-        kinds = np.array([f.analytic[0] for f in fields], np.int32)
-        halfs = np.array([f.analytic[1] for f in fields], np.float32)
-        pens = np.array([f.analytic[2] for f in fields], np.float32)
-        origins = np.array([f.origin for f in fields], np.float32)
-        deltas = np.array([f.delta for f in fields], np.float32)
-        dims = np.array([f.shape for f in fields], np.int32)
+    prims = analytic_prim_arrays(fields, pad_to, pad_multiple)
+    if prims is not None:
+        kinds, halfs, pens, origins, deltas, dims, limits, max_shape = prims
         fn = _synth_fn(tuple(int(v) for v in max_shape), bool(baked))
         return fn(kinds, halfs, pens, origins, deltas, dims,
                   jnp.asarray(limits))
@@ -611,6 +647,97 @@ def bake_world_field(
         delta=jnp.asarray(resolution, jnp.float32))
 
 
+def bake_world_field_analytic(
+    kinds, halfs, penals, limits,
+    inv_poses: jnp.ndarray,
+    epsilons: jnp.ndarray,
+    padding_scales: jnp.ndarray,
+    clearances: jnp.ndarray,
+    disables: jnp.ndarray,
+    dims_actual,
+    resolution: float = 0.01,
+    bounds=WORLD_BOUNDS,
+    chunk: int = 262144,
+) -> WorldField:
+    """Gather-free fused-field bake for analytic-primitive scenes.
+
+    Reproduces :func:`bake_world_field`'s nearest-cell 4-channel read
+    exactly (f32 rounding aside): the baked stack's value channel at cell
+    ``j`` is the analytic SDF at ``j``'s center (+1.0 outside the actual
+    dims — including the padded region and the concat-ones borders of
+    ``bake_scene``), and the gradient channels are the +/-1-cell central
+    differences of that field — seven snapped analytic evaluations per
+    (cell, object) replace one random gather each (elementwise VPU work
+    vs the ~150 M gathers/s latency ceiling; the 0.01-res bake is ~45 M
+    gathers on a 12-object scene).
+    """
+    lo, hi = bounds
+    dims = tuple(int(np.ceil((hi[i] - lo[i]) / resolution)) for i in range(3))
+    ax = [lo[i] + (jnp.arange(dims[i]) + 0.5) * resolution for i in range(3)]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    cells = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    n = cells.shape[0]
+    pad = (-n) % chunk
+    cells = jnp.concatenate([cells, jnp.zeros((pad, 3))], axis=0)
+
+    r = inv_poses[:, :3, :3]
+    t = inv_poses[:, :3, 3]
+    mn = limits[:, 0:3]
+    mx = limits[:, 3:6]
+    dpad = limits[:, 6:9]
+    delta = limits[:, 9]
+    da = jnp.asarray(dims_actual)
+    keep = (disables <= 0)
+
+    def pval(idx):
+        """Padded-stack value at integer cell ``idx [O, P, 3]``: analytic
+        at the cell center inside the actual dims, +1.0 everywhere else
+        (padding fill / bake_scene border ones)."""
+        ok = jnp.all((idx >= 0) & (idx < da[:, None, :].astype(idx.dtype)),
+                     axis=-1)
+        center = mn[:, None, :] + (idx + 0.5) * delta[:, None, None]
+        return jnp.where(
+            ok, _analytic_sdf_points(kinds, halfs, penals, center), 1.0)
+
+    def body(c):  # c: [chunk, 3] world points
+        pts_obj = jnp.einsum("oab,pb->opa", r, c) + t[:, None, :]
+        pg = ((pts_obj - mn[:, None, :]) / (mx - mn)[:, None, :]
+              * dpad[:, None, :])
+        idx = jnp.floor(pg)
+        inb = jnp.all((idx >= 0) & (idx < dpad[:, None, :]), axis=-1)
+        value = jnp.where(inb, pval(idx), 1.0)
+        g_obj = []
+        for a in range(3):
+            e = jnp.zeros((3,), idx.dtype).at[a].set(1.0)
+            g_obj.append(0.5 * (pval(idx + e) - pval(idx - e))
+                         / delta[:, None])
+        g_obj = jnp.where(inb[..., None],
+                          jnp.stack(g_obj, axis=-1), 0.0)  # [O, P, 3]
+
+        eps = epsilons[:, None]
+        padm = padding_scales[:, None]
+        inside = value <= 0
+        band = (value > 0) & (value <= eps)
+        pot = jnp.where(inside, -value + 0.5 * eps, 0.0)
+        pot = jnp.where(band, (value - eps) ** 2 / (2 * eps) * padm, pot)
+        gscale = jnp.where(inside, -1.0,
+                           jnp.where(band, (value - eps) / eps * padm, 0.0))
+        g_world = jnp.einsum("oba,opb->opa", r, g_obj * gscale[..., None])
+        km = keep[:, None]
+        pot_sum = jnp.where(km, pot, 0.0).sum(0)
+        grad_sum = jnp.where(km[..., None], g_world, 0.0).sum(0)
+        mind = jnp.where(km, value - clearances[:, None], jnp.inf).min(0)
+        mind = jnp.minimum(mind, 1e3)
+        return jnp.concatenate(
+            [pot_sum[:, None], grad_sum, mind[:, None]], axis=-1)
+
+    out = jax.lax.map(body, cells.reshape(-1, chunk, 3))
+    data5 = out.reshape(-1, 5)[:n].reshape(*dims, 5)
+    return WorldField(
+        data5=data5, origin=jnp.asarray(lo, jnp.float32),
+        delta=jnp.asarray(resolution, jnp.float32))
+
+
 def world_field_query(wf: WorldField, points: jnp.ndarray):
     """Trilinear 5-channel query: (pot [P], grad [P, 3], collide [P]).
 
@@ -725,6 +852,64 @@ def bake_world_potential(
     data = pots.reshape(-1)[:n].reshape(dims)
     return WorldPotential(
         data=data, origin=jnp.asarray(lo, jnp.float32),
+        delta=jnp.asarray(resolution, jnp.float32))
+
+
+def bake_world_potential_analytic(
+    kinds, halfs, penals, limits,
+    inv_poses: jnp.ndarray,
+    epsilons: jnp.ndarray,
+    padding_scales: jnp.ndarray,
+    disables: jnp.ndarray,
+    dims_actual,
+    resolution: float = 0.015,
+    bounds=WORLD_BOUNDS,
+) -> WorldPotential:
+    """Gather-free learner-field bake for analytic-primitive scenes.
+
+    Reproduces :func:`bake_world_potential`'s nearest-cell semantics
+    EXACTLY (f32 rounding aside) without touching the voxel stack: the
+    nearest-cell read ``grid[floor(pg)]`` of a voxelized analytic SDF *is*
+    the analytic SDF at that cell's center, so each (cell, object) value is
+    re-derived by snapping the transformed point to its object-grid cell
+    center and evaluating the primitive formula — pure elementwise VPU
+    work where the grid path pays one random gather per (cell, object)
+    (~13 M gathers/scene at the v5e's ~150 M/s latency ceiling).
+    Out-of-volume and padded cells produce the grid's +1.0 fill via the
+    actual-dims bound check.
+    """
+    lo, hi = bounds
+    dims = tuple(int(np.ceil((hi[i] - lo[i]) / resolution)) for i in range(3))
+    ax = [lo[i] + (jnp.arange(dims[i]) + 0.5) * resolution for i in range(3)]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    cells = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+    r = inv_poses[:, :3, :3]
+    t = inv_poses[:, :3, 3]
+    mn = limits[:, 0:3]
+    mx = limits[:, 3:6]
+    dpad = limits[:, 6:9]
+    delta = limits[:, 9]
+    da = jnp.asarray(dims_actual)
+
+    pts_obj = jnp.einsum("oab,pb->opa", r, cells) + t[:, None, :]
+    pg = (pts_obj - mn[:, None, :]) / (mx - mn)[:, None, :] * dpad[:, None, :]
+    idx = jnp.floor(pg)
+    inb = jnp.all((idx >= 0) & (idx < da[:, None, :].astype(pg.dtype)),
+                  axis=-1)
+    center = mn[:, None, :] + (idx + 0.5) * delta[:, None, None]
+    value = jnp.where(
+        inb, _analytic_sdf_points(kinds, halfs, penals, center), 1.0)
+
+    eps = epsilons[:, None]
+    padm = padding_scales[:, None]
+    inside = value <= 0
+    band = (value > 0) & (value <= eps)
+    pot = jnp.where(inside, -value + 0.5 * eps, 0.0)
+    pot = jnp.where(band, (value - eps) ** 2 / (2 * eps) * padm, pot)
+    data = jnp.where((disables <= 0)[:, None], pot, 0.0).sum(0)
+    return WorldPotential(
+        data=data.reshape(dims), origin=jnp.asarray(lo, jnp.float32),
         delta=jnp.asarray(resolution, jnp.float32))
 
 

@@ -111,8 +111,19 @@ class Env:
     def cost_params(self) -> CostParams:
         """Marshal per-object collision parameters
         (reference ``Cost.compute_obstacle_cost_layer``,
-        ``omg/cost.py:299-335``)."""
+        ``omg/cost.py:299-335``).  Cached per (env version, cfg): staging
+        calls this 3x per problem build (goal set, learner field, problem)
+        and each rebuild re-pays six host->device transfers."""
         cfg = self.cfg
+        cached = getattr(self, "_cost_params_cache", None)
+        key = (self.version, cfg.jit_key())
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        params = self._cost_params(cfg)
+        self._cost_params_cache = (key, params)
+        return params
+
+    def _cost_params(self, cfg) -> CostParams:
         n = len(self.objects)
         inv_poses = np.zeros((n, 4, 4), np.float32)
         eps = np.full(n, cfg.epsilon, np.float32)
@@ -203,6 +214,22 @@ def _bake_wp_fn(cfg: OMGConfig):
 
 
 @functools.lru_cache(maxsize=64)
+def _bake_wp_analytic_fn(cfg: OMGConfig):
+    """Gather-free learner-field bake for analytic-primitive scenes (the
+    nearest-cell grid read is re-derived as an analytic eval at the
+    snapped cell center — ops/sdf.py::bake_world_potential_analytic)."""
+    from ..ops.sdf import bake_world_potential_analytic
+
+    def f(kinds, halfs, penals, limits, dims_actual, params):
+        return bake_world_potential_analytic(
+            kinds, halfs, penals, limits, params.inv_poses,
+            params.epsilons, params.padding_scales, params.disables,
+            dims_actual, resolution=cfg.world_potential_resolution)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
 def _bake_wf_fn(cfg: OMGConfig):
     from ..ops.sdf import BakedSceneSDF, bake_scene, bake_world_field
 
@@ -212,6 +239,22 @@ def _bake_wf_fn(cfg: OMGConfig):
         return bake_world_field(
             scene_sdf, params.inv_poses, params.epsilons,
             params.padding_scales, params.clearances, params.disables,
+            resolution=cfg.world_field_resolution)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _bake_wf_analytic_fn(cfg: OMGConfig):
+    """Gather-free fused-field bake for analytic-primitive scenes
+    (ops/sdf.py::bake_world_field_analytic)."""
+    from ..ops.sdf import bake_world_field_analytic
+
+    def f(kinds, halfs, penals, limits, dims_actual, params):
+        return bake_world_field_analytic(
+            kinds, halfs, penals, limits, params.inv_poses,
+            params.epsilons, params.padding_scales, params.clearances,
+            params.disables, dims_actual,
             resolution=cfg.world_field_resolution)
 
     return jax.jit(f)
@@ -430,8 +473,15 @@ class PlanningScene:
         wf_key = (self.env.version, cfg.jit_key())
         if cached is not None and cached[0] == wf_key:
             return cached[1]
+        from ..ops.sdf import analytic_prim_arrays
         params = self.env.cost_params()
-        wf = _bake_wf_fn(cfg.jit_key())(self.env.scene_sdf(), params)
+        prims = analytic_prim_arrays([o.sdf for o in self.env.objects])
+        if prims is not None:
+            kinds, halfs, pens, _, _, dims_act, limits, _ = prims
+            wf = _bake_wf_analytic_fn(cfg.jit_key())(
+                kinds, halfs, pens, jnp.asarray(limits), dims_act, params)
+        else:
+            wf = _bake_wf_fn(cfg.jit_key())(self.env.scene_sdf(), params)
         self._wf_cache = (wf_key, wf)
         return wf
 
@@ -453,8 +503,15 @@ class PlanningScene:
         wp_key = (self.env.version, cfg.jit_key())
         if cached is not None and cached[0] == wp_key:
             return cached[1]
+        from ..ops.sdf import analytic_prim_arrays
         params = self.env.cost_params()
-        wp = _bake_wp_fn(cfg.jit_key())(self.env.scene_sdf(), params)
+        prims = analytic_prim_arrays([o.sdf for o in self.env.objects])
+        if prims is not None:
+            kinds, halfs, pens, _, _, dims_act, limits, _ = prims
+            wp = _bake_wp_analytic_fn(cfg.jit_key())(
+                kinds, halfs, pens, jnp.asarray(limits), dims_act, params)
+        else:
+            wp = _bake_wp_fn(cfg.jit_key())(self.env.scene_sdf(), params)
         self._wp_cache = (wp_key, wp)
         return wp
 

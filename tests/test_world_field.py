@@ -82,3 +82,57 @@ def test_plan_with_fused_field_succeeds():
     # identical goal sets; trajectories may differ where collision cost is
     # inactive, but the end states agree and deviation stays small
     assert d < 0.2, d
+
+
+def test_analytic_field_bake_matches_grid_bake():
+    """bake_world_field_analytic reproduces the grid path's nearest-cell
+    4-channel read exactly (f32 rounding aside), including the baked
+    stack's border/padding central-difference artifacts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from omg_planner_tpu.ops.sdf import (
+        SignedDensityField, analytic_prim_arrays, bake_scene,
+        bake_world_field, bake_world_field_analytic, combine_sdfs)
+
+    fields = [
+        SignedDensityField.from_analytic("box", [0.25, 0.2, 0.12],
+                                         delta=0.012),
+        SignedDensityField.from_analytic("cylinder", [0.05, 0.18],
+                                         delta=0.009),
+    ]
+    for f in fields:
+        f.penalize_inside(5.0)
+    poses = []
+    for i in range(2):
+        m = np.eye(4)
+        c, s = np.cos(0.4 + i), np.sin(0.4 + i)
+        m[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        m[:3, 3] = [0.5, 0.15 * i - 0.05, 0.25]
+        poses.append(np.linalg.inv(m))
+    inv = jnp.asarray(np.stack(poses), jnp.float32)
+    eps = jnp.asarray([0.15, 0.1])
+    pad = jnp.asarray([1.0, 0.7])
+    clear = jnp.asarray([0.03, 0.0])
+    dis = jnp.asarray([0.0, 0.0])
+
+    baked = jax.jit(bake_scene)(combine_sdfs(fields))
+    res = 0.06  # coarse: keeps the CPU test fast
+    wf_grid = jax.jit(lambda: bake_world_field(
+        baked, inv, eps, pad, clear, dis, resolution=res,
+        chunk=8192))()
+    kinds, halfs, pens, _, _, dims_act, limits, _ = \
+        analytic_prim_arrays(fields)
+    wf_an = jax.jit(lambda: bake_world_field_analytic(
+        kinds, halfs, pens, jnp.asarray(limits), inv, eps, pad, clear,
+        dis, dims_act, resolution=res, chunk=8192))()
+    assert wf_grid.data5.shape == wf_an.data5.shape
+    np.testing.assert_allclose(
+        np.array(wf_an.data5[..., 0]), np.array(wf_grid.data5[..., 0]),
+        atol=3e-5)  # potential
+    np.testing.assert_allclose(
+        np.array(wf_an.data5[..., 1:4]), np.array(wf_grid.data5[..., 1:4]),
+        atol=3e-3)  # gradients (divided by delta: looser f32 tolerance)
+    np.testing.assert_allclose(
+        np.array(wf_an.data5[..., 4]), np.array(wf_grid.data5[..., 4]),
+        atol=3e-5)  # min-dist channel
