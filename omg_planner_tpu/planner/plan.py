@@ -143,6 +143,40 @@ def _learner_enabled(cfg: OMGConfig) -> bool:
     return cfg.goal_set_proj and cfg.ol_alg not in ("Baseline", "Proj")
 
 
+def _learner_step(model, cfg, hp, problem: PlanProblem, traj, goal_idx,
+                  lstate, step, cv_fn):
+    """Learner update for one plan step, active only while
+    ``step < cfg.optim_steps`` (reference ``planner.py:614-618``).
+
+    The sweep is the second-largest tensor program in a step (~2 ms on the
+    v5e at suite scale), so the gate is a real ``lax.cond`` — steps past
+    ``optim_steps`` (the 20 extra smoothing steps of the 50+20 budget) skip
+    the work instead of computing-then-masking.  The goal-sharded path
+    (``cv_fn`` from ``parallel/batch.py``) keeps compute-then-mask: its
+    sweep contains collectives, and collectives inside a conditional branch
+    are unsafe under SPMD partitioning.
+    """
+    do_learn = step < cfg.optim_steps
+
+    def run(args):
+        traj, lstate, goal_idx = args
+        new_lstate, new_goal = ol.update_goal(
+            model, problem.scene, problem.cost_params, cfg, hp, traj,
+            problem.goal_set, lstate, problem.world_potential, cv_fn=cv_fn)
+        return new_lstate, new_goal.astype(jnp.int32)
+
+    def skip(args):
+        _, lstate, goal_idx = args
+        return lstate, goal_idx
+
+    if cv_fn is not None:
+        new_lstate, new_goal = run((traj, lstate, goal_idx))
+        lstate = jax.tree.map(
+            lambda a, b: jnp.where(do_learn, b, a), lstate, new_lstate)
+        return lstate, jnp.where(do_learn, new_goal, goal_idx)
+    return jax.lax.cond(do_learn, run, skip, (traj, lstate, goal_idx))
+
+
 def _learner_init(model, cfg, hp, problem: PlanProblem, cv_fn):
     """Initial goal choice + respline (reference Learner.__init__,
     online_learner.py:94-102); shared by both loop variants."""
@@ -182,16 +216,9 @@ def plan(model, cfg: OMGConfig, problem: PlanProblem,
         def live(carry: _Carry):
             traj, goal_idx, lstate = carry.traj, carry.goal_idx, carry.learner
             if _learner_enabled(cfg):
-                do_learn = carry.step < cfg.optim_steps
-                new_lstate, new_goal = ol.update_goal(
-                    model, problem.scene, problem.cost_params, cfg, hp, traj,
-                    problem.goal_set, lstate, problem.world_potential,
-                    cv_fn=cv_fn)
-                lstate = jax.tree.map(
-                    lambda a, b: jnp.where(do_learn, b, a), lstate,
-                    new_lstate)
-                goal_idx = jnp.where(do_learn, new_goal.astype(jnp.int32),
-                                     goal_idx)
+                lstate, goal_idx = _learner_step(
+                    model, cfg, hp, problem, traj, goal_idx, lstate,
+                    carry.step, cv_fn)
 
             new_traj, info = _optimize_once(
                 model, cfg, hp, problem, traj, goal_idx, carry.step)
@@ -234,15 +261,9 @@ def plan_fast(model, cfg: OMGConfig, problem: PlanProblem,
     def body(carry: _Carry):
         traj, goal_idx, lstate = carry.traj, carry.goal_idx, carry.learner
         if _learner_enabled(cfg):
-            do_learn = carry.step < cfg.optim_steps
-            new_lstate, new_goal = ol.update_goal(
-                model, problem.scene, problem.cost_params, cfg, hp, traj,
-                problem.goal_set, lstate, problem.world_potential,
-                cv_fn=cv_fn)
-            lstate = jax.tree.map(
-                lambda a, b: jnp.where(do_learn, b, a), lstate, new_lstate)
-            goal_idx = jnp.where(do_learn, new_goal.astype(jnp.int32),
-                                 goal_idx)
+            lstate, goal_idx = _learner_step(
+                model, cfg, hp, problem, traj, goal_idx, lstate,
+                carry.step, cv_fn)
         new_traj, info = _optimize_once(
             model, cfg, hp, problem, traj, goal_idx, carry.step)
         fired = info.terminate & (carry.step > 0)
