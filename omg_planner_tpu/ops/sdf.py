@@ -658,18 +658,27 @@ def bake_world_field_analytic(
     resolution: float = 0.01,
     bounds=WORLD_BOUNDS,
     chunk: int = 262144,
+    snap: bool = True,
 ) -> WorldField:
     """Gather-free fused-field bake for analytic-primitive scenes.
 
-    Reproduces :func:`bake_world_field`'s nearest-cell 4-channel read
-    exactly (f32 rounding aside): the baked stack's value channel at cell
-    ``j`` is the analytic SDF at ``j``'s center (+1.0 outside the actual
-    dims — including the padded region and the concat-ones borders of
-    ``bake_scene``), and the gradient channels are the +/-1-cell central
-    differences of that field — seven snapped analytic evaluations per
-    (cell, object) replace one random gather each (elementwise VPU work
-    vs the ~150 M gathers/s latency ceiling; the 0.01-res bake is ~45 M
-    gathers on a 12-object scene).
+    With ``snap=True`` (parity mode), reproduces :func:`bake_world_field`'s
+    nearest-cell 4-channel read exactly (f32 rounding aside): the baked
+    stack's value channel at cell ``j`` is the analytic SDF at ``j``'s
+    center (+1.0 outside the actual dims — including the padded region and
+    the concat-ones borders of ``bake_scene``), and the gradient channels
+    are the +/-1-cell central differences of that field — seven snapped
+    analytic evaluations per (cell, object) replace one random gather each
+    (elementwise VPU work vs the ~150 M gathers/s latency ceiling; the
+    0.01-res bake is ~45 M gathers on a 12-object scene).
+
+    With ``snap=False`` (the production fused backend), the double
+    quantization is dropped: the TRUE analytic SDF is evaluated at the
+    world cell center (no snapping to the per-object voxel grid, no volume
+    clamp) and the gradient is a tight central difference
+    (h = resolution/2) of the true field in world frame — same cost, and
+    the fused field's only remaining error vs the continuous geometry is
+    the world-grid trilinear interpolation itself.
     """
     lo, hi = bounds
     dims = tuple(int(np.ceil((hi[i] - lo[i]) / resolution)) for i in range(3))
@@ -701,18 +710,32 @@ def bake_world_field_analytic(
 
     def body(c):  # c: [chunk, 3] world points
         pts_obj = jnp.einsum("oab,pb->opa", r, c) + t[:, None, :]
-        pg = ((pts_obj - mn[:, None, :]) / (mx - mn)[:, None, :]
-              * dpad[:, None, :])
-        idx = jnp.floor(pg)
-        inb = jnp.all((idx >= 0) & (idx < dpad[:, None, :]), axis=-1)
-        value = jnp.where(inb, pval(idx), 1.0)
-        g_obj = []
-        for a in range(3):
-            e = jnp.zeros((3,), idx.dtype).at[a].set(1.0)
-            g_obj.append(0.5 * (pval(idx + e) - pval(idx - e))
-                         / delta[:, None])
-        g_obj = jnp.where(inb[..., None],
-                          jnp.stack(g_obj, axis=-1), 0.0)  # [O, P, 3]
+        if snap:
+            pg = ((pts_obj - mn[:, None, :]) / (mx - mn)[:, None, :]
+                  * dpad[:, None, :])
+            idx = jnp.floor(pg)
+            inb = jnp.all((idx >= 0) & (idx < dpad[:, None, :]), axis=-1)
+            value = jnp.where(inb, pval(idx), 1.0)
+            g_obj = []
+            for a in range(3):
+                e = jnp.zeros((3,), idx.dtype).at[a].set(1.0)
+                g_obj.append(0.5 * (pval(idx + e) - pval(idx - e))
+                             / delta[:, None])
+            g_obj = jnp.where(inb[..., None],
+                              jnp.stack(g_obj, axis=-1), 0.0)  # [O, P, 3]
+        else:
+            value = _analytic_sdf_points(kinds, halfs, penals, pts_obj)
+            h = 0.5 * resolution
+            g_axes = []
+            for a in range(3):
+                # world offset h*e_a is object-frame offset h*R[:, a]
+                off = h * r[:, None, :, a]
+                g_axes.append(
+                    (_analytic_sdf_points(kinds, halfs, penals,
+                                          pts_obj + off)
+                     - _analytic_sdf_points(kinds, halfs, penals,
+                                            pts_obj - off)) / (2.0 * h))
+            g_world_sdf = jnp.stack(g_axes, axis=-1)  # [O, P, 3] world frame
 
         eps = epsilons[:, None]
         padm = padding_scales[:, None]
@@ -722,7 +745,11 @@ def bake_world_field_analytic(
         pot = jnp.where(band, (value - eps) ** 2 / (2 * eps) * padm, pot)
         gscale = jnp.where(inside, -1.0,
                            jnp.where(band, (value - eps) / eps * padm, 0.0))
-        g_world = jnp.einsum("oba,opb->opa", r, g_obj * gscale[..., None])
+        if snap:
+            g_world = jnp.einsum("oba,opb->opa", r,
+                                 g_obj * gscale[..., None])
+        else:
+            g_world = g_world_sdf * gscale[..., None]
         km = keep[:, None]
         pot_sum = jnp.where(km, pot, 0.0).sum(0)
         grad_sum = jnp.where(km[..., None], g_world, 0.0).sum(0)
@@ -864,19 +891,24 @@ def bake_world_potential_analytic(
     dims_actual,
     resolution: float = 0.015,
     bounds=WORLD_BOUNDS,
+    snap: bool = True,
 ) -> WorldPotential:
     """Gather-free learner-field bake for analytic-primitive scenes.
 
-    Reproduces :func:`bake_world_potential`'s nearest-cell semantics
-    EXACTLY (f32 rounding aside) without touching the voxel stack: the
-    nearest-cell read ``grid[floor(pg)]`` of a voxelized analytic SDF *is*
-    the analytic SDF at that cell's center, so each (cell, object) value is
-    re-derived by snapping the transformed point to its object-grid cell
-    center and evaluating the primitive formula — pure elementwise VPU
-    work where the grid path pays one random gather per (cell, object)
-    (~13 M gathers/scene at the v5e's ~150 M/s latency ceiling).
-    Out-of-volume and padded cells produce the grid's +1.0 fill via the
-    actual-dims bound check.
+    With ``snap=True`` (parity mode), reproduces
+    :func:`bake_world_potential`'s nearest-cell semantics EXACTLY (f32
+    rounding aside) without touching the voxel stack: the nearest-cell read
+    ``grid[floor(pg)]`` of a voxelized analytic SDF *is* the analytic SDF
+    at that cell's center, so each (cell, object) value is re-derived by
+    snapping the transformed point to its object-grid cell center and
+    evaluating the primitive formula — pure elementwise VPU work where the
+    grid path pays one random gather per (cell, object) (~13 M
+    gathers/scene at the v5e's ~150 M/s latency ceiling).  Out-of-volume
+    and padded cells produce the grid's +1.0 fill via the actual-dims
+    bound check.
+
+    With ``snap=False`` (production), the TRUE analytic SDF is evaluated
+    at the world cell center — no object-grid quantization.
     """
     lo, hi = bounds
     dims = tuple(int(np.ceil((hi[i] - lo[i]) / resolution)) for i in range(3))
@@ -893,13 +925,17 @@ def bake_world_potential_analytic(
     da = jnp.asarray(dims_actual)
 
     pts_obj = jnp.einsum("oab,pb->opa", r, cells) + t[:, None, :]
-    pg = (pts_obj - mn[:, None, :]) / (mx - mn)[:, None, :] * dpad[:, None, :]
-    idx = jnp.floor(pg)
-    inb = jnp.all((idx >= 0) & (idx < da[:, None, :].astype(pg.dtype)),
-                  axis=-1)
-    center = mn[:, None, :] + (idx + 0.5) * delta[:, None, None]
-    value = jnp.where(
-        inb, _analytic_sdf_points(kinds, halfs, penals, center), 1.0)
+    if snap:
+        pg = (pts_obj - mn[:, None, :]) / (mx - mn)[:, None, :] \
+            * dpad[:, None, :]
+        idx = jnp.floor(pg)
+        inb = jnp.all((idx >= 0) & (idx < da[:, None, :].astype(pg.dtype)),
+                      axis=-1)
+        center = mn[:, None, :] + (idx + 0.5) * delta[:, None, None]
+        value = jnp.where(
+            inb, _analytic_sdf_points(kinds, halfs, penals, center), 1.0)
+    else:
+        value = _analytic_sdf_points(kinds, halfs, penals, pts_obj)
 
     eps = epsilons[:, None]
     padm = padding_scales[:, None]

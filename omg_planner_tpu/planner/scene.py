@@ -224,7 +224,8 @@ def _bake_wp_analytic_fn(cfg: OMGConfig):
         return bake_world_potential_analytic(
             kinds, halfs, penals, limits, params.inv_poses,
             params.epsilons, params.padding_scales, params.disables,
-            dims_actual, resolution=cfg.world_potential_resolution)
+            dims_actual, resolution=cfg.world_potential_resolution,
+            snap=False)
 
     return jax.jit(f)
 
@@ -255,7 +256,7 @@ def _bake_wf_analytic_fn(cfg: OMGConfig):
             kinds, halfs, penals, limits, params.inv_poses,
             params.epsilons, params.padding_scales, params.clearances,
             params.disables, dims_actual,
-            resolution=cfg.world_field_resolution)
+            resolution=cfg.world_field_resolution, snap=False)
 
     return jax.jit(f)
 

@@ -136,3 +136,70 @@ def test_analytic_field_bake_matches_grid_bake():
     np.testing.assert_allclose(
         np.array(wf_an.data5[..., 4]), np.array(wf_grid.data5[..., 4]),
         atol=3e-5)  # min-dist channel
+
+
+def test_true_bake_beats_snapped_bake_against_continuous_truth():
+    """snap=False evaluates the TRUE analytic SDF at world cell centers;
+    its potential channel must track the continuous hinge potential at
+    least as well as the parity (double-quantized) bake."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from omg_planner_tpu.ops.sdf import (
+        SignedDensityField, _analytic_sdf_points, analytic_prim_arrays,
+        bake_world_field_analytic, world_field_query)
+
+    fields = [
+        SignedDensityField.from_analytic("box", [0.22, 0.16, 0.1],
+                                         delta=0.012),
+        SignedDensityField.from_analytic("sphere", [0.07], delta=0.008),
+    ]
+    for f in fields:
+        f.penalize_inside(5.0)
+    poses = []
+    for i in range(2):
+        m = np.eye(4)
+        c, s = np.cos(0.7 * i + 0.3), np.sin(0.7 * i + 0.3)
+        m[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        m[:3, 3] = [0.45 + 0.12 * i, -0.05, 0.28]
+        poses.append(np.linalg.inv(m))
+    inv = jnp.asarray(np.stack(poses), jnp.float32)
+    eps = jnp.asarray([0.15, 0.12])
+    pad = jnp.asarray([1.0, 1.0])
+    clear = jnp.asarray([0.0, 0.0])
+    dis = jnp.asarray([0.0, 0.0])
+    kinds, halfs, pens, _, _, dims_act, limits, _ = \
+        analytic_prim_arrays(fields)
+    res = 0.02
+
+    def bake(snap):
+        return jax.jit(lambda: bake_world_field_analytic(
+            kinds, halfs, pens, jnp.asarray(limits), inv, eps, pad, clear,
+            dis, dims_act, resolution=res, chunk=8192, snap=snap))()
+
+    wf_snap, wf_true = bake(True), bake(False)
+
+    # probe points in the epsilon band around both objects
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.uniform([0.2, -0.3, 0.05], [0.75, 0.25, 0.55],
+                                  size=(4000, 3)), jnp.float32)
+    # continuous ground truth: analytic SDF + hinge, summed over objects
+    p_obj = jnp.einsum("oab,pb->opa", inv[:, :3, :3], pts) \
+        + inv[:, :3, 3][:, None, :]
+    d = _analytic_sdf_points(kinds, jnp.asarray(halfs), jnp.asarray(pens),
+                             p_obj)
+    e = eps[:, None]
+    pot = jnp.where(d <= 0, -d + 0.5 * e, 0.0)
+    pot = jnp.where((d > 0) & (d <= e), (d - e) ** 2 / (2 * e)
+                    * pad[:, None], pot)
+    truth = np.array(pot.sum(0))
+
+    err_snap = np.abs(np.array(world_field_query(wf_snap, pts)[0]) - truth)
+    err_true = np.abs(np.array(world_field_query(wf_true, pts)[0]) - truth)
+    active = truth > 1e-4
+    assert active.sum() > 200
+    # strictly better in aggregate, no worse at the tail
+    assert err_true[active].mean() <= 0.7 * err_snap[active].mean(), (
+        err_true[active].mean(), err_snap[active].mean())
+    assert np.quantile(err_true[active], 0.95) <= \
+        np.quantile(err_snap[active], 0.95) * 1.05
