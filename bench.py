@@ -49,8 +49,11 @@ def log(msg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", type=int, default=100)
-    ap.add_argument("--fused", action="store_true",
-                    help="scene-fused world-field collision backend "
+    ap.add_argument("--backend", default="analytic",
+                    choices=["analytic", "exact", "fused"],
+                    help="collision backend: grid-free true-SDF "
+                         "(cfg.sdf_analytic, default), per-object voxel "
+                         "stack, or scene-fused world field "
                          "(cfg.sdf_fused)")
     ap.add_argument("--skip-full-budget", action="store_true")
     ap.add_argument("--cpu", action="store_true",
@@ -69,7 +72,8 @@ def main():
     from omg_planner_tpu.planner.scene import PlanningScene
 
     # standard reference budget: T=30, 50+20 steps, <=100 goals
-    cfg = OMGConfig(silent=True, sdf_fused=args.fused)
+    cfg = OMGConfig(silent=True, sdf_fused=args.backend == "fused",
+                    sdf_analytic=args.backend == "analytic")
     cfg_full = cfg.replace(pre_terminate=False)
     model = panda.load_panda(collision_point_num=cfg.collision_point_num)
     plan_one = jax.jit(plan_fast, static_argnums=(1,))
@@ -90,14 +94,20 @@ def main():
     build_walls, early_walls, full_walls = [], [], []
     n_valid, flags, steps_used, exec_full = [], [], [], []
     compile_walls = {}
+    from omg_planner_tpu.ops.sdf import AnalyticScene
+
     for k, scene in enumerate(scenes):
-        # SDF staging INSIDE the timed build: with device-side analytic
-        # synthesis it is one small dispatch, so the e2e metric can afford
-        # to be honest about it (round 1 staged outside the clock)
+        # SDF staging INSIDE the timed build: grid-free for the analytic
+        # backend (AnalyticScene), one small synthesis dispatch otherwise,
+        # so the e2e metric is honest about it (round 1 staged outside the
+        # clock).  Grid scenes stage to the suite-wide padded shape so the
+        # jitted programs compile once.
         t0 = time.time()
-        scene.env._scene_sdf = stage_scene_sdfs(
-            [o.sdf for o in scene.env.objects], baked=cfg.sdf_baked,
-            pad_to=pad_to)
+        scene.env._scene_sdf = None
+        if not isinstance(scene.env.scene_sdf(), AnalyticScene):
+            scene.env._scene_sdf = stage_scene_sdfs(
+                [o.sdf for o in scene.env.objects], baked=cfg.sdf_baked,
+                pad_to=pad_to)
         problem = scene.build_problem()
         jax.block_until_ready(problem.goal_set.grasps)
         build_walls.append(time.time() - t0)
@@ -160,7 +170,7 @@ def main():
         "vs_baseline": round(early_rate / baseline_rate, 2),
         "suite": "data/suite_v2 (pinned hard suite)",
         "n_scenes": n,
-        "sdf_fused": bool(args.fused),
+        "backend": args.backend,
         "full_budget_plans_per_s": (round(full_rate, 3)
                                     if full_rate else None),
         "end_to_end_plans_per_s": round(e2e_rate, 3),

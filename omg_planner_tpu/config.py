@@ -152,6 +152,14 @@ class OMGConfig:
     # (ops.sdf.WorldField documents the deviations).
     sdf_fused: bool = False
     world_field_resolution: float = 0.01
+    # grid-free collision backend for analytic-primitive scenes: evaluate
+    # the TRUE primitive SDF + closed-form gradient at query points
+    # (ops.sdf.AnalyticScene) — zero gathers, zero interpolation error,
+    # no bakes.  Applies automatically only when every scene object is
+    # analytic; data-backed objects keep the voxel paths.  False restores
+    # the reference's voxelize-then-interpolate numerics for primitives
+    # (omg/core.py:366-411).
+    sdf_analytic: bool = True
     ik_max_iters: int = 60
     ik_pos_tol: float = 1e-4
     ik_rot_tol: float = 1e-3

@@ -31,7 +31,7 @@ from ..models import panda
 from ..utils.diff import get_derivative
 from ..utils.spline import multi_linear_interpolate
 from .chomp import CostParams, GoalSet
-from .sdf import (SceneSDF, WorldPotential, sdf_potentials,
+from .sdf import (AnalyticScene, SceneSDF, WorldPotential, sdf_potentials,
                   world_potential_lookup, world_potential_lookup_nearest)
 
 NUM_EXPERTS = 5
@@ -177,12 +177,16 @@ def cost_vector_raw(
     poses = panda.forward_kinematics_batch(score_model, flat_q)
     x = panda.collision_point_positions(score_model, poses)  # [G*n,10,P,3]
     p = x.shape[2]
-    if cfg.learner_world_potential and world_potential is not None:
+    if (cfg.learner_world_potential and world_potential is not None
+            and not isinstance(scene, AnalyticScene)):
         lookup = (world_potential_lookup_nearest
                   if cfg.learner_lookup == "nearest"
                   else world_potential_lookup)
         pot = lookup(world_potential, x.reshape(-1, 3))
     else:
+        # AnalyticScene routes here: a direct true-SDF sweep is elementwise
+        # VPU work (XLA DCEs the unused gradient outputs), cheaper and
+        # exacter than one baked-field gather per scoring point
         pot, _, _ = sdf_potentials(
             scene, params.inv_poses, x.reshape(-1, 3), params.epsilons,
             params.padding_scales, params.clearances, params.disables)

@@ -45,7 +45,24 @@ def stack_problems(problems: Sequence[PlanProblem]) -> PlanProblem:
 
 def pad_objects(problem: PlanProblem, num_objects: int) -> PlanProblem:
     """Pad a problem's object dimension with disabled dummy objects."""
-    from ..ops.sdf import BakedSceneSDF
+    from ..ops.sdf import AnalyticScene, BakedSceneSDF
+
+    if isinstance(problem.scene, AnalyticScene):
+        sc = problem.scene
+        o = sc.kinds.shape[0]
+        if o == num_objects:
+            return problem
+        extra = num_objects - o
+        scene = AnalyticScene(
+            kinds=jnp.concatenate(
+                [sc.kinds, jnp.ones(extra, sc.kinds.dtype)]),
+            halfs=jnp.concatenate(
+                [sc.halfs, jnp.full((extra, 3), 1e-3, sc.halfs.dtype)]),
+            penals=jnp.concatenate(
+                [sc.penals, jnp.ones(extra, sc.penals.dtype)]))
+        return problem._replace(
+            scene=scene, cost_params=_pad_cost_params(
+                problem.cost_params, extra))
 
     baked = isinstance(problem.scene, BakedSceneSDF)
     vol = problem.scene.data4 if baked else problem.scene.data
@@ -61,9 +78,17 @@ def pad_objects(problem: PlanProblem, num_objects: int) -> PlanProblem:
     lim = jnp.concatenate(
         [problem.scene.limits,
          jnp.tile(problem.scene.limits[-1:], (extra, 1))], axis=0)
-    cp = problem.cost_params
+    scene = (problem.scene._replace(data4=data, limits=lim) if baked
+             else problem.scene._replace(data=data, limits=lim))
+    return problem._replace(
+        scene=scene,
+        cost_params=_pad_cost_params(problem.cost_params, extra))
+
+
+def _pad_cost_params(cp, extra: int):
+    """Disabled dummy entries for every per-object parameter array."""
     pad1 = lambda a, v: jnp.concatenate([a, jnp.full((extra,), v, a.dtype)])
-    cost_params = cp._replace(
+    return cp._replace(
         inv_poses=jnp.concatenate(
             [cp.inv_poses, jnp.tile(jnp.eye(4)[None], (extra, 1, 1))]),
         epsilons=pad1(cp.epsilons, 0.2),
@@ -71,9 +96,6 @@ def pad_objects(problem: PlanProblem, num_objects: int) -> PlanProblem:
         clearances=pad1(cp.clearances, 0.0),
         disables=pad1(cp.disables, 1.0),
     )
-    scene = (problem.scene._replace(data4=data, limits=lim) if baked
-             else problem.scene._replace(data=data, limits=lim))
-    return problem._replace(scene=scene, cost_params=cost_params)
 
 
 def plan_batch(model: panda.PandaModel, cfg: OMGConfig,

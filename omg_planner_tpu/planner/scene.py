@@ -100,12 +100,19 @@ class Env:
     # -- staging ----------------------------------------------------------
     def scene_sdf(self) -> SceneSDF:
         if self._scene_sdf is None:
-            # analytic-primitive scenes synthesize the padded stack (and
-            # the baked gradient channels) ON DEVICE in one dispatch —
-            # ~13 floats/object cross the tunnel instead of a ~23 MB
-            # padded volume stack (ops/sdf.py::stage_scene_sdfs)
-            self._scene_sdf = stage_scene_sdfs(
-                [o.sdf for o in self.objects], baked=self.cfg.sdf_baked)
+            # all-analytic scenes skip voxel grids entirely: collision
+            # queries evaluate the true primitive SDF + closed-form
+            # gradient (ops/sdf.py::AnalyticScene) — ~13 floats/object of
+            # staging, zero gathers in the hot loop.  Otherwise synthesize
+            # the padded stack (and the baked gradient channels) ON DEVICE
+            # in one dispatch (ops/sdf.py::stage_scene_sdfs).
+            if self.cfg.sdf_analytic:
+                from ..ops.sdf import make_analytic_scene
+                self._scene_sdf = make_analytic_scene(
+                    [o.sdf for o in self.objects])
+            if self._scene_sdf is None:
+                self._scene_sdf = stage_scene_sdfs(
+                    [o.sdf for o in self.objects], baked=self.cfg.sdf_baked)
         return self._scene_sdf
 
     def cost_params(self) -> CostParams:
@@ -470,6 +477,12 @@ class PlanningScene:
         cfg = self.cfg
         if not cfg.sdf_fused:
             return None
+        from ..ops.sdf import AnalyticScene
+        if isinstance(self.env.scene_sdf(), AnalyticScene):
+            # the grid-free analytic backend strictly dominates the fused
+            # field (exact values, no bake); sdf_fused only applies to
+            # data-backed scenes
+            return None
         cached = getattr(self, "_wf_cache", None)
         wf_key = (self.env.version, cfg.jit_key())
         if cached is not None and cached[0] == wf_key:
@@ -492,7 +505,12 @@ class PlanningScene:
         Under ``sdf_fused`` the learner field is a VIEW of the CHOMP world
         field's potential channel — one bake serves both consumers."""
         cfg = self.cfg
-        if not (cfg.learner_world_potential and cfg.goal_set_proj):
+        from ..ops.sdf import AnalyticScene
+        analytic = isinstance(self.env.scene_sdf(), AnalyticScene)
+        if analytic or not (cfg.learner_world_potential
+                            and cfg.goal_set_proj):
+            # analytic scenes: the learner sweep evaluates the true SDF
+            # directly (ops/learner.py::cost_vector_raw) — no scoring field
             return WorldPotential(
                 data=jnp.zeros((2, 2, 2)),
                 origin=jnp.zeros(3), delta=jnp.asarray(1.0))

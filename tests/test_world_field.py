@@ -17,7 +17,9 @@ from omg_planner_tpu.planner.scene import PlanningScene
 
 
 def _field_and_params(resolution=0.01):
-    cfg = OMGConfig(silent=True)
+    # the fused field applies only to data-backed (grid) scenes — pin the
+    # voxel backend so the bake path is exercised
+    cfg = OMGConfig(silent=True, sdf_analytic=False)
     scene = PlanningScene.synthetic(cfg, scene_id=0, n_obstacles=2)
     env = scene.env
     params = env.cost_params()
@@ -66,7 +68,8 @@ def test_world_field_matches_exact_pointwise():
 def test_plan_with_fused_field_succeeds():
     cfg = OMGConfig(silent=True, optim_steps=15, extra_smooth_steps=5,
                     goal_set_max_num=12, ik_seed_num=3, ik_max_iters=30,
-                    learner_interp_steps=10, sdf_fused=True)
+                    learner_interp_steps=10, sdf_fused=True,
+                    sdf_analytic=False)
     scene = PlanningScene.synthetic(cfg, scene_id=0, n_obstacles=1)
     res = scene.step(fast=True)
     assert res is not None
