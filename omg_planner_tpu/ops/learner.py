@@ -283,24 +283,35 @@ def update_goal_dist(
         etas = _etas(cfg, n_valid)
         delta = mf / (4.0 * n_valid + 1.0)  # reference :85
         w = jnp.ones(g, cv.dtype)
-        experts_p = state.experts_p
-        experts_costs = state.experts_costs
-        q = state.q
-        p = state.p
-        # the reference updates q and the mixture INSIDE the expert loop
-        # (online_learner.py:224-235); reproduced faithfully
-        for i in range(NUM_EXPERTS):
-            p_i = bregman_projection(experts_p[i], etas[i] * cv, delta, w, mask)
-            c_i = jnp.dot(cv * mf, p_i) + jnp.dot(
-                w * mf, jnp.abs(p_i - experts_p[i]))
-            experts_costs = experts_costs.at[i].set(c_i)
-            experts_p = experts_p.at[i].set(p_i)
-            q = q * jnp.exp(-experts_costs)
-            q = q / jnp.maximum(jnp.sum(q), 1e-12)
-            p = jnp.einsum("e,eg->g", q, experts_p)
-            p = p / jnp.maximum(jnp.sum(p), 1e-12)
+        # The reference loops over experts (online_learner.py:224-235), but
+        # the Bregman projections and expert costs depend only on that
+        # expert's own state — batch them (one vmapped projection instead of
+        # NUM_EXPERTS sequential bisection chains; this is the dominant
+        # sequential latency of the learner update on TPU).  Only the q
+        # recurrence is order-dependent: at inner step i the reference
+        # multiplies by exp(-experts_costs) with entries 0..i fresh and
+        # i+1.. still carrying the previous learner step's values — the
+        # fori_loop below replays those exact snapshots, so the final
+        # (q, p) match the sequential loop bit-for-bit up to reduction
+        # order.  Intermediate p mixtures inside the reference loop are
+        # overwritten and never observed.
+        p_new = jax.vmap(
+            lambda pi, eta: bregman_projection(pi, eta * cv, delta, w, mask)
+        )(state.experts_p, etas)
+        c_new = ((cv * mf)[None] * p_new).sum(-1) + (
+            (w * mf)[None] * jnp.abs(p_new - state.experts_p)).sum(-1)
+
+        def q_body(i, q):
+            costs_i = jnp.where(jnp.arange(NUM_EXPERTS) <= i,
+                                c_new, state.experts_costs)
+            q = q * jnp.exp(-costs_i)
+            return q / jnp.maximum(jnp.sum(q), 1e-12)
+
+        q = jax.lax.fori_loop(0, NUM_EXPERTS, q_body, state.q)
+        p = jnp.einsum("e,eg->g", q, p_new)
+        p = p / jnp.maximum(jnp.sum(p), 1e-12)
         return state._replace(
-            p=p * mf, experts_p=experts_p, experts_costs=experts_costs, q=q)
+            p=p * mf, experts_p=p_new, experts_costs=c_new, q=q)
 
     raise ValueError(f"unknown ol_alg {alg}")
 

@@ -85,3 +85,49 @@ def test_md_distribution_concentrates_over_time():
         entropies.append(-(p * np.log(p)).sum())
     assert entropies[-1] < entropies[0]
     assert int(np.argmax(np.array(state.p))) == 0
+
+
+def test_md_batched_experts_match_sequential_reference_loop():
+    """The vmapped-expert MD update must equal the reference's sequential
+    expert loop (``online_learner.py:224-235``) — including the q
+    recurrence's partially-updated cost snapshots."""
+    cfg = OMGConfig(ol_alg="MD")
+    gs = _goal_set(12, valid=9, seed=3)
+    rng = np.random.default_rng(7)
+    state = ol.init_learner_state(gs)
+    # advance a couple of steps so experts_costs/q are non-trivial
+    for step in range(4):
+        cv = jnp.asarray(rng.uniform(0, 1, 12), jnp.float32)
+        cv = jnp.where(gs.mask, cv, 1e6)
+
+        # sequential replication of the reference loop
+        mf = gs.mask.astype(cv.dtype)
+        n_valid = mf.sum()
+        etas = ol._etas(cfg, n_valid)
+        delta = mf / (4.0 * n_valid + 1.0)
+        w = jnp.ones(12, cv.dtype)
+        experts_p = state.experts_p
+        experts_costs = state.experts_costs
+        q = state.q
+        p_seq = state.p
+        for i in range(ol.NUM_EXPERTS):
+            p_i = ol.bregman_projection(
+                experts_p[i], etas[i] * cv, delta, w, gs.mask)
+            c_i = jnp.dot(cv * mf, p_i) + jnp.dot(
+                w * mf, jnp.abs(p_i - experts_p[i]))
+            experts_costs = experts_costs.at[i].set(c_i)
+            experts_p = experts_p.at[i].set(p_i)
+            q = q * jnp.exp(-experts_costs)
+            q = q / jnp.maximum(jnp.sum(q), 1e-12)
+            p_seq = jnp.einsum("e,eg->g", q, experts_p)
+            p_seq = p_seq / jnp.maximum(jnp.sum(p_seq), 1e-12)
+        p_seq = p_seq * mf
+
+        state = ol.update_goal_dist(cfg, state, cv, gs, gs.grasps[0])
+        np.testing.assert_allclose(np.array(state.p), np.array(p_seq),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.array(state.experts_p),
+                                   np.array(experts_p), atol=1e-6)
+        np.testing.assert_allclose(np.array(state.q), np.array(q), atol=1e-6)
+        np.testing.assert_allclose(np.array(state.experts_costs),
+                                   np.array(experts_costs), atol=1e-6)
