@@ -304,16 +304,20 @@ def solve_goal_set(
                    active=active)
     ok = far.success & active
     active = active & far.success
-    prev = far.q
-    qs = []
-    for k in range(tail):
-        res = ik_batch(model, tgt[:, k], prev, cfg, lower7, upper7,
+
+    # one scan body instead of `tail` separately-traced while_loops: the
+    # chain semantics are identical, but the goal-set program's HLO carries
+    # ONE copy of the batched Newton solve for the tail instead of five —
+    # a large cut in the (minutes-long on remote TPU) first compile
+    def chain_step(carry, tgt_k):
+        prev, ok, active = carry
+        res = ik_batch(model, tgt_k, prev, cfg, lower7, upper7,
                        active=active)
-        ok = ok & res.success
-        active = active & res.success
-        prev = res.q
-        qs.append(res.q)
-    qs = jnp.stack(qs, axis=1)                    # [B, tail, 7]
+        return (res.q, ok & res.success, active & res.success), res.q
+
+    (_, ok, active), qs = jax.lax.scan(
+        chain_step, (far.q, ok, active), jnp.moveaxis(tgt, 0, 1))
+    qs = jnp.moveaxis(qs, 0, 1)                   # [B, tail, 7]
     if not attached:
         qs = qs[:, ::-1]  # farthest ... grasp (planner.py:65)
     diff = jnp.linalg.norm(jnp.diff(qs, axis=1), axis=(1, 2))
