@@ -300,24 +300,24 @@ def solve_goal_set(
         lane_idx = jnp.arange(b, dtype=jnp.int32)
         active = lane_valid
 
-    far = ik_batch(model, tgt[:, -1], seeds_b, cfg, lower7, upper7,
-                   active=active)
-    ok = far.success & active
-    active = active & far.success
-
-    # one scan body instead of `tail` separately-traced while_loops: the
-    # chain semantics are identical, but the goal-set program's HLO carries
-    # ONE copy of the batched Newton solve for the tail instead of five —
-    # a large cut in the (minutes-long on remote TPU) first compile
+    # One scanned Newton body instead of 1 + `tail` separately-traced
+    # while_loops: the far standoff solves first (from the seed), then each
+    # tail pose seeded by the previous solution — identical chain semantics
+    # (planner.py:41-77), but the goal-set program's HLO carries ONE copy
+    # of the batched solve instead of six, a large cut in the
+    # (minutes-long on remote TPU) first compile.
     def chain_step(carry, tgt_k):
         prev, ok, active = carry
         res = ik_batch(model, tgt_k, prev, cfg, lower7, upper7,
                        active=active)
         return (res.q, ok & res.success, active & res.success), res.q
 
+    chain_tgts = jnp.concatenate(
+        [tgt[:, -1:], tgt], axis=1)               # far first, then the tail
     (_, ok, active), qs = jax.lax.scan(
-        chain_step, (far.q, ok, active), jnp.moveaxis(tgt, 0, 1))
-    qs = jnp.moveaxis(qs, 0, 1)                   # [B, tail, 7]
+        chain_step, (seeds_b, active, active),
+        jnp.moveaxis(chain_tgts, 0, 1))
+    qs = jnp.moveaxis(qs[1:], 0, 1)               # [B, tail, 7]
     if not attached:
         qs = qs[:, ::-1]  # farthest ... grasp (planner.py:65)
     diff = jnp.linalg.norm(jnp.diff(qs, axis=1), axis=(1, 2))
