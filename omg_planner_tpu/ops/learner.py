@@ -164,7 +164,16 @@ def cost_vector_raw(
     n = cfg.num_interp
     interp = multi_linear_interpolate(traj_start, goals, n)  # [G, n, 9]
     g = goals.shape[0]
-    flat_q = interp.reshape(g * n, -1)
+    # FK the start + interior samples + goal of every candidate as ONE
+    # batch: the arc-length boundary positions (x_start / x_goal) come from
+    # slices of the same program instead of two more FK instantiations —
+    # each batched-FK call site is ~9k lines of HLO in the (twice-
+    # instantiated) plan program, and one fused dispatch shortens the
+    # step's sequential critical path on the remote chip
+    full = jnp.concatenate([
+        jnp.broadcast_to(traj_start, (g, 1, goals.shape[-1])),
+        interp, goals[:, None, :]], axis=1)      # [G, n+2, 9]
+    flat_q = full.reshape(g * (n + 2), -1)
 
     score_model = model
     if cfg.learner_collision_points and \
@@ -175,8 +184,10 @@ def cost_vector_raw(
             collision_points=model.collision_points[:, ::stride, :]
             [:, :cfg.learner_collision_points, :])
     poses = panda.forward_kinematics_batch(score_model, flat_q)
-    x = panda.collision_point_positions(score_model, poses)  # [G*n,10,P,3]
-    p = x.shape[2]
+    x_full = panda.collision_point_positions(score_model, poses)
+    p = x_full.shape[2]
+    x_full = x_full.reshape(g, n + 2, panda.NUM_LINKS, p, 3)
+    x = x_full[:, 1:-1]  # interior samples score the potential
     if (cfg.learner_world_potential and world_potential is not None
             and not isinstance(scene, AnalyticScene)):
         lookup = (world_potential_lookup_nearest
@@ -194,13 +205,10 @@ def cost_vector_raw(
 
     # arc-length weights: |d x / dt| along the interpolation axis
     # (reference cost.py:235-275)
-    x_start = panda.collision_point_positions(
-        score_model, panda.forward_kinematics(score_model, traj_start))
-    x_goal = panda.collision_point_positions(
-        score_model, panda.forward_kinematics_batch(score_model, goals))
-    xs = x.reshape(g, n, panda.NUM_LINKS, p, 3)
-    xs = jnp.moveaxis(xs, 1, 3)  # [G, 10, P, n, 3]
-    v = get_derivative(hp, xs, x_start[None], x_goal, 1)
+    x_start = x_full[:, 0]   # [G, 10, P, 3] (identical rows; broadcast-free)
+    x_goal = x_full[:, -1]
+    xs = jnp.moveaxis(x, 1, 3)  # [G, 10, P, n, 3]
+    v = get_derivative(hp, xs, x_start, x_goal, 1)
     speed = jnp.linalg.norm(v, axis=-1)          # [G, 10, P, n]
     collision = (jnp.moveaxis(pot, 1, 3) * speed).sum(axis=(1, 2, 3))  # [G]
 
