@@ -46,6 +46,28 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def retry_transient(fn, what, attempts=4, wait_s=75.0):
+    """The remote axon TPU intermittently faults (UNAVAILABLE/ABORTED,
+    recovers in ~1-5 min — CLAUDE.md); one transient mid-suite must not
+    cost the whole benchmark run.  Retries only infrastructure errors;
+    anything else re-raises immediately."""
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # jax raises XlaRuntimeError subclasses
+            msg = f"{type(e).__name__}: {e}"
+            transient = any(s in msg for s in
+                            ("UNAVAILABLE", "ABORTED", "DEADLINE_EXCEEDED",
+                             "INTERNAL", "Unavailable", "device error"))
+            if not transient or k == attempts - 1:
+                raise
+            log(f"[bench] transient TPU fault during {what} "
+                f"(attempt {k + 1}/{attempts}): {msg[:200]}; "
+                f"retrying in {wait_s:.0f}s")
+            time.sleep(wait_s)
+            wait_s *= 2
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", type=int, default=100)
@@ -102,46 +124,50 @@ def main():
         # so the e2e metric is honest about it (round 1 staged outside the
         # clock).  Grid scenes stage to the suite-wide padded shape so the
         # jitted programs compile once.
-        t0 = time.time()
-        scene.env._scene_sdf = None
-        if not isinstance(scene.env.scene_sdf(), AnalyticScene):
-            scene.env._scene_sdf = stage_scene_sdfs(
-                [o.sdf for o in scene.env.objects], baked=cfg.sdf_baked,
-                pad_to=pad_to)
-        problem = scene.build_problem()
-        jax.block_until_ready(problem.goal_set.grasps)
-        build_walls.append(time.time() - t0)
+        def build():
+            t0 = time.time()
+            scene.env._scene_sdf = None
+            if not isinstance(scene.env.scene_sdf(), AnalyticScene):
+                scene.env._scene_sdf = stage_scene_sdfs(
+                    [o.sdf for o in scene.env.objects], baked=cfg.sdf_baked,
+                    pad_to=pad_to)
+            scene._staged = None  # a faulted attempt must not half-cache
+            pr = scene.build_problem()
+            jax.block_until_ready(pr.goal_set.grasps)
+            return pr, time.time() - t0
+
+        problem, dt = retry_transient(build, f"build scene {k}")
+        build_walls.append(dt)
         n_valid.append(int(np.asarray(problem.goal_set.mask).sum()))
         problem = pad_objects(problem, max_obj)
         # drain async staging (bake/pad dispatches) BEFORE timing the plan:
         # otherwise the first plan wall absorbs pending device work
         jax.block_until_ready(problem)
 
-        t0 = time.time()
-        r = plan_one(model, cfg.jit_key(), problem)
-        jax.block_until_ready(r.traj)
-        dt = time.time() - t0
+        def run_plan(key):
+            t0 = time.time()
+            r = plan_one(model, key, problem)
+            jax.block_until_ready(r.traj)
+            return r, time.time() - t0
+
+        r, dt = retry_transient(lambda: run_plan(cfg.jit_key()),
+                                f"plan scene {k}")
         if k == 0:
             compile_walls["plan"] = dt  # first call pays the compile
-            t0 = time.time()
-            r = plan_one(model, cfg.jit_key(), problem)
-            jax.block_until_ready(r.traj)
-            dt = time.time() - t0
+            r, dt = retry_transient(lambda: run_plan(cfg.jit_key()),
+                                    "plan rerun")
         early_walls.append(dt)
         flags.append(bool(np.asarray(r.flag)))
         steps_used.append(int(np.asarray(r.steps_used)))
 
         if not args.skip_full_budget:
-            t0 = time.time()
-            rf = plan_one(model, cfg_full.jit_key(), problem)
-            jax.block_until_ready(rf.traj)
-            dt = time.time() - t0
+            rf, dt = retry_transient(lambda: run_plan(cfg_full.jit_key()),
+                                     f"full-budget plan scene {k}")
             if k == 0:
                 compile_walls["plan_full"] = dt
-                t0 = time.time()
-                rf = plan_one(model, cfg_full.jit_key(), problem)
-                jax.block_until_ready(rf.traj)
-                dt = time.time() - t0
+                rf, dt = retry_transient(
+                    lambda: run_plan(cfg_full.jit_key()),
+                    "full-budget rerun")
             full_walls.append(dt)
             exec_full.append(bool(np.asarray(rf.info.execute)))
 
