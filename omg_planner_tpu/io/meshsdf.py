@@ -49,20 +49,41 @@ def _load():
     return lib
 
 
-def load_obj(path: str):
+def load_obj(path: str, with_uv: bool = False):
     """Minimal wavefront .obj parser: returns (verts [V,3] f32,
-    faces [F,3] i32).  Polygons are fan-triangulated."""
-    verts, faces = [], []
+    faces [F,3] i32).  Polygons are fan-triangulated.
+
+    ``with_uv=True`` additionally returns per-corner texture coordinates
+    ``face_uv [F, 3, 2]`` (or ``None`` when the file has no ``vt`` records)
+    for the software rasterizer's textured path — per-corner instead of
+    per-vertex so seam vertices need no duplication."""
+    verts, faces, uvs, face_uv = [], [], [], []
     with open(path) as f:
         for line in f:
             if line.startswith("v "):
                 verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("vt "):
+                vals = [float(x) for x in line.split()[1:3]]
+                uvs.append(vals + [0.0] * (2 - len(vals)))
             elif line.startswith("f "):
-                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                toks = [tok.split("/") for tok in line.split()[1:]]
+                idx = [int(t[0]) - 1 for t in toks]
+                ti = [int(t[1]) - 1 if len(t) > 1 and t[1] else -1
+                      for t in toks]
                 for i in range(1, len(idx) - 1):
                     faces.append([idx[0], idx[i], idx[i + 1]])
-    return (np.asarray(verts, np.float32),
-            np.asarray(faces, np.int32))
+                    face_uv.append([ti[0], ti[i], ti[i + 1]])
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
+    if not with_uv:
+        return verts, faces
+    if not uvs or not faces.size:
+        return verts, faces, None
+    uvs = np.asarray(uvs, np.float32)
+    fuv = np.asarray(face_uv, np.int32)
+    if (fuv < 0).any():
+        return verts, faces, None
+    return verts, faces, uvs[fuv]
 
 
 def mesh_to_sdf(verts: np.ndarray, faces: np.ndarray,

@@ -123,6 +123,18 @@ def render_rgb(
         cam = w @ view[:3, :3].T + view[:3, 3]
         base = (PALETTE[oi % len(PALETTE)] if not o.target
                 else np.array([0.92, 0.78, 0.30]))
+        # textured path: per-corner UVs + texture image on the object
+        # (capability parity with the reference's textured GL draw,
+        # ycb_renderer.py:1242-1491)
+        uv_faces = getattr(o, "mesh_uv", None)
+        tex = getattr(o, "texture", None)
+        textured = (uv_faces is not None and tex is not None
+                    and len(uv_faces) == len(f))
+        if textured:
+            tex = np.asarray(tex, np.float64)
+            if tex.max() > 1.5:      # uint8 image
+                tex = tex / 255.0
+            th, tw = tex.shape[:2]
 
         tri = cam[f]                                  # [F, 3, 3]
         # world-frame normals for shading
@@ -168,7 +180,19 @@ def render_rgb(
             sub_rgb = rgb[lo_v:hi_v, lo_u:hi_u]
             sub_seg = seg[lo_v:hi_v, lo_u:hi_u]
             sub_d[win] = zpix[win]
-            sub_rgb[win] = np.clip(base * shade[ti], 0, 1)
+            if textured:
+                # perspective-correct UV: interpolate uv/z, rescale by z
+                tuv = uv_faces[ti]   # [3, 2]
+                uq = (l0 * tuv[0, 0] / t[0, 2] + l1 * tuv[1, 0] / t[1, 2]
+                      + l2 * tuv[2, 0] / t[2, 2]) * zpix
+                vq = (l0 * tuv[0, 1] / t[0, 2] + l1 * tuv[1, 1] / t[1, 2]
+                      + l2 * tuv[2, 1] / t[2, 2]) * zpix
+                # wrap + nearest texel; OBJ v runs bottom-up, rows top-down
+                ui = np.clip((uq[win] % 1.0) * tw, 0, tw - 1).astype(int)
+                vi = np.clip((1.0 - vq[win] % 1.0) * th, 0, th - 1).astype(int)
+                sub_rgb[win] = np.clip(tex[vi, ui] * shade[ti], 0, 1)
+            else:
+                sub_rgb[win] = np.clip(base * shade[ti], 0, 1)
             sub_seg[win] = oi
 
     if robot_points is not None and len(robot_points):

@@ -75,3 +75,54 @@ def test_occlusion():
     n_ball = (seg == 1).sum()
     assert n_wall > 0
     assert n_ball < n_wall * 0.2, (n_wall, n_ball)
+
+
+def test_textured_mesh_samples_texture():
+    """A textured wall (left half red, right half blue in UV space) must
+    render both colors on the correct sides, modulated by shading only."""
+    wall = make_primitive("wall", "box", [0.02, 0.6, 0.6],
+                          pose_at([0.6, 0.0, 0.3]), compute_grasp=False)
+    # replace the proxy with an explicit two-triangle quad facing the
+    # camera (+x normal), spanning y/z
+    v = np.array([
+        [0.0, -0.3, -0.3], [0.0, 0.3, -0.3],
+        [0.0, 0.3, 0.3], [0.0, -0.3, 0.3]])
+    f = np.array([[0, 1, 2], [0, 2, 3]])
+    uv = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    wall.mesh = (v, f)
+    wall.mesh_uv = uv[f]  # per-corner [F, 3, 2]
+    tex = np.zeros((8, 8, 3))
+    tex[:, :4] = [1.0, 0.0, 0.0]   # u < 0.5 -> red
+    tex[:, 4:] = [0.0, 0.0, 1.0]   # u >= 0.5 -> blue
+    wall.texture = tex
+    rgb, depth, seg = render_rgb([wall])
+    hit = seg == 0
+    assert hit.sum() > 200
+    px = rgb[hit].astype(float)
+    reds = px[:, 0] > px[:, 2] * 2 + 10
+    blues = px[:, 2] > px[:, 0] * 2 + 10
+    assert reds.sum() > 50 and blues.sum() > 50
+    # red and blue regions are horizontally separated
+    cols = np.nonzero(hit)[1]
+    assert abs(np.median(cols[reds[: len(cols)]]) -
+               np.median(cols[blues[: len(cols)]])) > 5
+
+
+def test_load_obj_uv_roundtrip(tmp_path):
+    from omg_planner_tpu.io.meshsdf import load_obj
+    p = tmp_path / "quad.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "f 1/1 2/2 3/3 4/4\n")
+    v, f, fuv = load_obj(str(p), with_uv=True)
+    assert v.shape == (4, 3) and f.shape == (2, 3)
+    assert fuv.shape == (2, 3, 2)
+    np.testing.assert_allclose(fuv[0], [[0, 0], [1, 0], [1, 1]])
+    # files without vt still load, uv None
+    p2 = tmp_path / "plain.obj"
+    p2.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    v2, f2, fuv2 = load_obj(str(p2), with_uv=True)
+    assert fuv2 is None and f2.shape == (1, 3)
+    v3, f3 = load_obj(str(p2))
+    assert f3.shape == (1, 3)
