@@ -289,7 +289,12 @@ def _init_traj_fn(cfg: OMGConfig):
 
 @functools.lru_cache(maxsize=64)
 def _goal_set_fn(cfg: OMGConfig, attached: bool, z_up: bool, y_up: bool):
-    """Jitted goal-set builder for a (cfg, attachment) mode."""
+    """Jitted goal-set builder for a (cfg, attachment) mode.
+
+    Also returns the initial-goal choice and the spline init (reference
+    ``grasp_init``, ``planner.py:188-223``) so a fresh scene stages with
+    ONE device dispatch instead of two — on the remote-TPU tunnel every
+    dispatch is a network round trip."""
 
     def f(model, scene_sdf, params, poses, start, key, obj_pos):
         if z_up:
@@ -297,8 +302,11 @@ def _goal_set_fn(cfg: OMGConfig, attached: bool, z_up: bool, y_up: bool):
         if y_up:
             poses = gs.y_upsample_poses(poses)
         valid = jnp.ones(poses.shape[0], bool)
-        return gs.build_goal_set(model, cfg, scene_sdf, params, poses, valid,
-                                 start, key, attached=attached)
+        goal_set = gs.build_goal_set(model, cfg, scene_sdf, params, poses,
+                                     valid, start, key, attached=attached)
+        gi = gs.goal_idx_policy(cfg, goal_set, start)
+        end = goal_set.grasps[gi]
+        return goal_set, end, plan_mod.init_trajectory(cfg, start, end)
 
     return jax.jit(f)
 
@@ -403,10 +411,14 @@ class PlanningScene:
                           bool(t.attached and cfg.z_upsample),
                           bool(cfg.y_upsample and not t.attached))
         t0 = time.time()
-        goal_set = fn(self.model, env.scene_sdf(), env.cost_params(),
-                      jnp.asarray(poses, jnp.float32),
-                      jnp.asarray(self.start, jnp.float32), sub,
-                      jnp.asarray(t.pose_mat[:3, 3], jnp.float32))
+        goal_set, end0, traj0 = fn(
+            self.model, env.scene_sdf(), env.cost_params(),
+            jnp.asarray(poses, jnp.float32),
+            jnp.asarray(self.start, jnp.float32), sub,
+            jnp.asarray(t.pose_mat[:3, 3], jnp.float32))
+        # initial goal + spline ride the same dispatch; build_problem
+        # reuses them through the staged cache
+        self._staged_init = (end0, traj0)
         if not cfg.silent:
             n_valid = int(goal_set.mask.sum())
             # parity with the reference's IK-init report (planner.py:445-454)
@@ -423,6 +435,7 @@ class PlanningScene:
         env = self.env
         start = jnp.asarray(self.start, jnp.float32)
         end = jnp.asarray(self.end, jnp.float32)
+        fused_init = None  # (end, traj0) riding the goal-set dispatch
         if cfg.goal_set_proj:
             if goal_set is None and getattr(self, "_precomputed_goals",
                                             None) is not None:
@@ -431,10 +444,11 @@ class PlanningScene:
                 staged = getattr(self, "_staged", None)
                 key = (env.version, tuple(self.start), cfg.jit_key())
                 if staged is not None and staged[0] == key:
-                    goal_set = staged[1]
+                    goal_set, fused_init = staged[1], staged[2]
                 else:
                     goal_set = self.build_goal_set()
-                    self._staged = (key, goal_set)
+                    fused_init = getattr(self, "_staged_init", None)
+                    self._staged = (key, goal_set, fused_init)
         else:
             g = cfg.goal_set_max_num
             goal_set = GoalSet(
@@ -447,13 +461,20 @@ class PlanningScene:
         self._n_valid_goals = int(goal_set.mask.sum())  # one device sync
         have_goals = cfg.goal_set_proj and self._n_valid_goals > 0
         if have_goals and not cfg.dynamic_timestep:
-            # fused: goal policy + spline init as ONE device program (each
-            # eager op costs a tunnel round trip on remote TPU)
-            _, end, traj0 = _goal_init_fn(cfg.jit_key())(goal_set, start)
+            if fused_init is not None:
+                # goal policy + spline init rode the goal-set dispatch
+                end, traj0 = fused_init
+            else:
+                # external/precomputed goal sets: one fused device program
+                # (each eager op costs a tunnel round trip on remote TPU)
+                _, end, traj0 = _goal_init_fn(cfg.jit_key())(goal_set, start)
         else:
             if have_goals:
-                gi = gs.goal_idx_policy(cfg, goal_set, start)
-                end = goal_set.grasps[gi]
+                if fused_init is not None:
+                    end = fused_init[0]
+                else:
+                    gi = gs.goal_idx_policy(cfg, goal_set, start)
+                    end = goal_set.grasps[gi]
             if cfg.dynamic_timestep:
                 # horizon from start-goal distance (core.py:64-75); changes
                 # the static T -> per-T jit cache entry; needs `end` on host
