@@ -1,0 +1,166 @@
+"""Headless JSON planning service.
+
+The reference is driven by in-process python calls and CLIs; a production
+TPU deployment serves plans over an API instead, keeping one warm process
+whose compiled programs (module-level jit caches in ``planner/scene.py``)
+amortize across requests — first request per config pays the compile,
+every later scene pays only staging (one goal-set dispatch) + the plan.
+
+Run:  ``python -m omg_planner_tpu.apps.serve [--port 8009]``
+
+Endpoints (stdlib ``http.server``; single-threaded by design — the device
+serializes plans anyway):
+
+* ``GET /health`` -> ``{"ok", "device", "requests"}``
+* ``POST /plan`` -> body::
+
+      {"objects": [{"name": str, "kind": "box|cylinder|sphere",
+                    "extents": [..], "pose": [16 floats, row-major 4x4],
+                    "target": bool}],
+       "start": [9 floats]          (optional, default home config)
+       "cfg": {field: value, ...}}  (optional OMGConfig overrides)
+
+  response: ``{"flag", "steps_used", "goal_idx", "traj" [T, 9],
+  "info": {reach, collide, smooth, execute}, "timings": {stage_s, plan_s},
+  "n_goals"}``; 422 when the goal set is empty (reference's IK-FAIL
+  "planning not run" path, ``omg/planner.py:651-652``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+
+from ..config import OMGConfig
+from ..io.assets import DEFAULT_START, make_primitive
+from ..planner.scene import PlanningScene
+
+
+def _build_scene(cfg: OMGConfig, spec: dict) -> PlanningScene:
+    objs = []
+    target = None
+    for o in spec["objects"]:
+        pose = np.asarray(o["pose"], np.float64).reshape(4, 4)
+        obj = make_primitive(
+            o["name"], o.get("kind", "box"), o.get("extents", [0.06]),
+            pose, target=bool(o.get("target", False)),
+            compute_grasp=bool(o.get("target", False))
+            or o.get("compute_grasp", False))
+        objs.append(obj)
+        if o.get("target"):
+            target = o["name"]
+    if target is None:
+        raise ValueError("no object marked target=true")
+    scene = PlanningScene._from_objects(cfg, objs, target)
+    if "start" in spec:
+        scene.start = np.asarray(spec["start"], np.float64)
+    return scene
+
+
+_CFG_FIELDS = {f.name for f in dataclasses.fields(OMGConfig)}
+
+
+def plan_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
+    """Handle one /plan body; returns (http_status, response_dict)."""
+    overrides = body.get("cfg", {})
+    bad = set(overrides) - _CFG_FIELDS
+    if bad:
+        return 400, {"error": f"unknown cfg fields: {sorted(bad)}"}
+    cfg = base_cfg.replace(**overrides) if overrides else base_cfg
+    try:
+        t0 = time.time()
+        scene = _build_scene(cfg, body)
+        problem = scene.build_problem()
+        stage_s = time.time() - t0
+    except (KeyError, ValueError) as e:
+        return 400, {"error": str(e)}
+    if scene._n_valid_goals == 0 and cfg.goal_set_proj:
+        return 422, {"error": "IK FAIL: empty goal set (planning not run)"}
+    t0 = time.time()
+    res = scene._get_plan_fn(True)(scene.model, problem)
+    import jax
+    jax.block_until_ready(res.traj)
+    plan_s = time.time() - t0
+    return 200, {
+        "flag": bool(np.asarray(res.flag)),
+        "steps_used": int(np.asarray(res.steps_used)),
+        "goal_idx": int(np.asarray(res.goal_idx)),
+        "traj": np.asarray(res.traj).tolist(),
+        "n_goals": int(scene._n_valid_goals),
+        "info": {
+            "reach": float(np.asarray(res.info.reach)),
+            "collide": float(np.asarray(res.info.collide)),
+            "smooth": float(np.asarray(res.info.smooth)),
+            "execute": bool(np.asarray(res.info.execute)),
+            "violate_limit": bool(np.asarray(res.info.violate_limit)),
+        },
+        "timings": {"stage_s": round(stage_s, 4),
+                    "plan_s": round(plan_s, 4)},
+    }
+
+
+def make_server(port: int, cfg: OMGConfig) -> HTTPServer:
+    state = {"requests": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/health":
+                import jax
+                self._send(200, {"ok": True,
+                                 "device": str(jax.devices()[0]),
+                                 "requests": state["requests"]})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/plan":
+                self._send(404, {"error": "unknown path"})
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError as e:
+                self._send(400, {"error": f"bad json: {e}"})
+                return
+            try:
+                code, payload = plan_request(body, cfg)
+            except Exception as e:  # keep the server alive
+                code, payload = 500, {"error": f"{type(e).__name__}: {e}"}
+            state["requests"] += 1
+            self._send(code, payload)
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return HTTPServer(("127.0.0.1", port), Handler)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8009)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    cfg = OMGConfig(silent=True)
+    srv = make_server(args.port, cfg)
+    print(f"planning service on http://127.0.0.1:{args.port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Headless planning service: request round-trip, errors, warm reuse."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+
+from omg_planner_tpu.apps.serve import make_server
+from omg_planner_tpu.config import OMGConfig
+from omg_planner_tpu.io.assets import pose_at
+
+PORT = 8811
+
+
+def _small_cfg():
+    return OMGConfig(silent=True, optim_steps=12, extra_smooth_steps=4,
+                     goal_set_max_num=10, ik_seed_num=2, ik_max_iters=25,
+                     learner_interp_steps=8)
+
+
+def _post(path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}{path}", method="POST",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _scene_body():
+    return {
+        "objects": [
+            {"name": "table", "kind": "box", "extents": [0.9, 1.2, 0.04],
+             "pose": np.asarray(pose_at([0.55, 0.0, 0.16])).ravel().tolist()},
+            {"name": "mug", "kind": "cylinder", "extents": [0.045, 0.1],
+             "pose": np.asarray(pose_at([0.55, 0.1, 0.23])).ravel().tolist(),
+             "target": True},
+        ],
+    }
+
+
+def test_serve_plan_roundtrip():
+    srv = make_server(PORT, _small_cfg())
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{PORT}/health") as r:
+            h = json.loads(r.read())
+        assert h["ok"]
+
+        code, out = _post("/plan", _scene_body())
+        assert code == 200, out
+        traj = np.asarray(out["traj"])
+        assert traj.shape[1] == 9 and np.isfinite(traj).all()
+        assert out["n_goals"] > 0
+        assert out["timings"]["plan_s"] > 0
+
+        # warm second request: staging only, no recompile (much faster)
+        code2, out2 = _post("/plan", _scene_body())
+        assert code2 == 200
+        assert out2["timings"]["stage_s"] < out["timings"]["stage_s"]
+
+        # malformed: unknown cfg field
+        bad = _scene_body()
+        bad["cfg"] = {"not_a_field": 1}
+        code3, out3 = _post("/plan", bad)
+        assert code3 == 400 and "unknown cfg" in out3["error"]
+
+        # no target object
+        nt = _scene_body()
+        nt["objects"][1]["target"] = False
+        code4, out4 = _post("/plan", nt)
+        assert code4 == 400
+    finally:
+        srv.shutdown()
