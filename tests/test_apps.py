@@ -54,3 +54,31 @@ def test_suite_runner_resumes(tmp_path):
     d = dict(np.load(tmp_path / "scene_0.npz"))
     assert "traj" in d and "success" in d
     assert "valid" in d  # execution-validation grade rides along
+
+
+def test_process_shape_and_sdf_inspect_clis(tmp_path, capsys):
+    """CLI parity: process_shape orchestration (reference
+    process_shape.py:86-179) + sdf inspector (sdf_tools.py:201-246)."""
+    import numpy as np
+    from omg_planner_tpu.io.meshsdf import save_compound_obj
+    from omg_planner_tpu.apps import process_shape, sdf_inspect
+
+    obj = tmp_path / "block.obj"
+    save_compound_obj(str(obj), np.array([[0.0, 0.0, 0.0, 0.03, 0.02, 0.04]]))
+    process_shape.main(["-f", str(obj), "-a", "--target-dim", "16",
+                        "--padding", "4"])
+    out = capsys.readouterr().out
+    assert "surface points" in out
+    assert (tmp_path / "block_chomp.pkl").exists()
+    assert (tmp_path / "block.xyz").exists()
+    assert (tmp_path / "block.extent.txt").exists()
+    assert (tmp_path / "block_convex.obj").exists()
+
+    png = tmp_path / "m.png"
+    exp = tmp_path / "re.pkl"
+    sdf_inspect.main(["-f", str(tmp_path / "block_chomp.pkl"),
+                      "-v", str(png), "-e", str(exp)])
+    out = capsys.readouterr().out
+    assert "sdf info:" in out
+    assert png.exists() and exp.exists()
+    sdf_inspect.main(["-f", str(exp)])  # round-trip loads
