@@ -196,26 +196,25 @@ def forward_kinematics(
 def _mm4_lanes(a, b):
     """4x4 product in lane-last layout: a, b [4, 4, N] -> [4, 4, N].
 
-    Unrolled to 64 vector MACs over the N lanes.  XLA:TPU lowers batched
-    [N,4,4] dots with catastrophic MXU padding (measured 25 ms for a
-    3000-config FK batch); this elementwise form runs on the VPU at full
-    lane width.
+    Broadcast-multiply-reduce over the contraction axis: the same 64
+    vector MACs over the N lanes as an explicit unroll, but ~5 HLO ops
+    instead of ~200 (FK is instantiated several times per plan program;
+    the unrolled form dominated its compile size).  Deliberately NOT a
+    dot_general: XLA:TPU lowers batched [N,4,4] dots with catastrophic
+    MXU padding (measured 25 ms for a 3000-config FK batch); elementwise
+    VPU work at full lane width is the fast form.
     """
-    return jnp.stack([
-        jnp.stack([
-            a[i, 0] * b[0, j] + a[i, 1] * b[1, j]
-            + a[i, 2] * b[2, j] + a[i, 3] * b[3, j]
-            for j in range(4)])
-        for i in range(4)])
+    p = a[:, :, None, :] * b[None, :, :, :]
+    # explicit left-associated adds: bit-identical to the historical
+    # unrolled form (a0b0 + a1b1) + a2b2) + a3b3 — a .sum() reduce may
+    # re-associate and shift near-tied goal selections downstream
+    return ((p[:, 0] + p[:, 1]) + p[:, 2]) + p[:, 3]
 
 
 def _mm4_const_lanes(a, b_const):
     """[4, 4, N] @ constant [4, 4] -> [4, 4, N]."""
-    return jnp.stack([
-        jnp.stack([
-            sum(a[i, k] * b_const[k, j] for k in range(4))
-            for j in range(4)])
-        for i in range(4)])
+    p = a[:, :, None, :] * b_const[None, :, :, None]
+    return ((p[:, 0] + p[:, 1]) + p[:, 2]) + p[:, 3]
 
 
 _E1 = np.diag([1.0, 1.0, 0.0, 0.0])
@@ -305,6 +304,15 @@ def fk_with_joint_info_batch(model: PandaModel, q: jnp.ndarray):
 def hand_pose(model: PandaModel, q: jnp.ndarray) -> jnp.ndarray:
     """World pose of panda_hand (link 7) without mesh offset — the IK tip."""
     return forward_kinematics(model, q, apply_offset=False)[7]
+
+
+def hand_pose_batch(model: PandaModel, q: jnp.ndarray) -> jnp.ndarray:
+    """panda_hand poses for a batch ``[N, 9] -> [N, 4, 4]``.
+
+    Lane-last batched chain — a vmapped :func:`hand_pose` would lower the
+    per-link ``[4,4] @ [4,4]`` products to batched dots that XLA:TPU pads
+    onto full MXU tiles (the 25 ms/3000-config pathology)."""
+    return forward_kinematics_batch(model, q, apply_offset=False)[:, 7]
 
 
 def collision_point_positions(model: PandaModel, poses: jnp.ndarray) -> jnp.ndarray:

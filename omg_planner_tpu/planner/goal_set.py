@@ -107,7 +107,7 @@ def task_space_filter(
     else:
         n = 1
         flat = reach_grasps[:, -1]
-    hands = jax.vmap(lambda q: panda.hand_pose(model, q))(flat)
+    hands = panda.hand_pose_batch(model, flat)
     hands = hands.reshape(-1, n, 4, 4)
     r_diff = jnp.einsum("cnab,db->cnad", hands[..., :3, :3],
                         start_hand[:3, :3])
@@ -279,7 +279,7 @@ def build_goal_set(
         # far from top-down (lift stability) plus the collision potential
         # at the goal. Folded into `potentials` so the learner's and the
         # init policy's costs both see it.
-        hands = jax.vmap(lambda q: panda.hand_pose(model, q))(grasps_sel)
+        hands = panda.hand_pose_batch(model, grasps_sel)
         approach_z = hands[:, :3, 2]  # world z-axis of panda_hand
         downness = -approach_z[:, 2]  # 1 = straight down
         quality = 0.5 * (1.0 - downness)
