@@ -41,6 +41,8 @@ _PAGE = """<!DOCTYPE html>
 <div>
  <canvas id="top" width="520" height="520"></canvas>
  <canvas id="side" width="520" height="380"></canvas>
+ <img id="r3d" width="320" height="240" style="border:1px solid #444;
+      vertical-align: top" alt="shaded view"/>
 </div>
 <div id="msg">loading…</div>
 <script>
@@ -102,6 +104,7 @@ function draw(){
 async function refresh(){
   state = await (await fetch('state')).json();
   document.getElementById('msg').textContent = state.message || 'ready';
+  document.getElementById('r3d').src = 'render.png?' + Date.now();
   draw();
 }
 top.addEventListener('click', async ev => {
@@ -171,6 +174,29 @@ class InspectorApp:
             "ee_path": ee,
             "message": self.message,
         }
+
+    def render_png(self) -> bytes:
+        """Shaded 3-D view (software rasterizer) of the scene + the robot
+        at the last plan's final configuration."""
+        import io as _io
+
+        from ..models import api as model_api
+        from ..viz.raster import render_rgb
+
+        q = (self.last_traj[-1] if self.last_traj is not None
+             else self.scene.start)
+        poses = model_api.fk_one(self.scene.model,
+                                 jnp.asarray(q, jnp.float32))
+        pts = np.asarray(model_api.point_positions(self.scene.model, poses))
+        rgb, _, _ = render_rgb(self.scene.env.objects, width=320, height=240,
+                               robot_points=pts.reshape(-1, 3))
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.image as mpimg
+
+        buf = _io.BytesIO()
+        mpimg.imsave(buf, rgb, format="png")
+        return buf.getvalue()
 
     # -- actions ----------------------------------------------------------
 
@@ -245,6 +271,8 @@ def make_server(app: InspectorApp, host: str = "127.0.0.1",
             elif self.path.lstrip("/") == "state":
                 self._send(json.dumps(app.state()).encode(),
                            "application/json")
+            elif self.path.lstrip("/").split("?")[0] == "render.png":
+                self._send(app.render_png(), "image/png")
             else:
                 self.send_error(404)
 

@@ -81,3 +81,12 @@ def test_click_far_from_objects(server):
     _, res = _post(base + "/plan", {"action": "pick", "x": -5.0, "y": 5.0})
     assert not res["ok"]
     assert "no object" in res["message"]
+
+
+def test_render_png_endpoint(server):
+    url, _app = server
+    with urllib.request.urlopen(f"{url}/render.png") as r:
+        data = r.read()
+        ctype = r.headers["Content-Type"]
+    assert ctype == "image/png"
+    assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 500
