@@ -47,25 +47,10 @@ def log(msg):
 
 
 def retry_transient(fn, what, attempts=4, wait_s=75.0):
-    """The remote axon TPU intermittently faults (UNAVAILABLE/ABORTED,
-    recovers in ~1-5 min — CLAUDE.md); one transient mid-suite must not
-    cost the whole benchmark run.  Retries only infrastructure errors;
-    anything else re-raises immediately."""
-    for k in range(attempts):
-        try:
-            return fn()
-        except Exception as e:  # jax raises XlaRuntimeError subclasses
-            msg = f"{type(e).__name__}: {e}"
-            transient = any(s in msg for s in
-                            ("UNAVAILABLE", "ABORTED", "DEADLINE_EXCEEDED",
-                             "INTERNAL", "Unavailable", "device error"))
-            if not transient or k == attempts - 1:
-                raise
-            log(f"[bench] transient TPU fault during {what} "
-                f"(attempt {k + 1}/{attempts}): {msg[:200]}; "
-                f"retrying in {wait_s:.0f}s")
-            time.sleep(wait_s)
-            wait_s *= 2
+    """One transient TPU fault must not cost the whole benchmark run
+    (shared helper: ``omg_planner_tpu.utils.timing.retry_transient``)."""
+    from omg_planner_tpu.utils.timing import retry_transient as rt
+    return rt(fn, what, attempts=attempts, wait_s=wait_s, log=log)
 
 
 def main():

@@ -95,23 +95,37 @@ class SuiteRunner:
             pad_to = tuple(shapes.max(axis=0))
             max_obj = max(len(s.env.objects) for s in scenes.values())
 
+        from ..ops.sdf import AnalyticScene
+        from ..utils.timing import retry_transient
+
         for sid in pending:
             sc = scenes[sid]
-            sc.env._scene_sdf = stage_scene_sdfs(
-                [o.sdf for o in sc.env.objects], baked=self.cfg.sdf_baked,
-                pad_to=pad_to)
+            # grid-free analytic scenes skip volume staging entirely
+            sc.env._scene_sdf = None
+            if not isinstance(sc.env.scene_sdf(), AnalyticScene):
+                sc.env._scene_sdf = stage_scene_sdfs(
+                    [o.sdf for o in sc.env.objects],
+                    baked=self.cfg.sdf_baked, pad_to=pad_to)
             t0 = time.time()
-            problem = sc.build_problem()
-            if (self.cfg.goal_set_proj
-                    and int(np.asarray(problem.goal_set.mask).sum()) == 0):
+
+            def build_and_plan():
+                sc._staged = None  # a faulted attempt must not half-cache
+                problem = sc.build_problem()
+                if (self.cfg.goal_set_proj
+                        and int(np.asarray(problem.goal_set.mask).sum())
+                        == 0):
+                    return None
+                problem = pad_objects(problem, max_obj)
+                res = plan_one(model, self.cfg.jit_key(), problem)
+                return jax.tree.map(np.asarray, res)
+
+            res = retry_transient(build_and_plan, f"scene {sid}")
+            if res is None:
                 rec = {"success": False, "steps": 0, "no_goals": True,
                        "exec_valid": False, "wall_s": 0.0}
                 self.manifest["done"][str(sid)] = rec
                 self._save_manifest()
                 continue
-            problem = pad_objects(problem, max_obj)
-            res = plan_one(model, self.cfg.jit_key(), problem)
-            res = jax.tree.map(np.asarray, res)
             dt = time.time() - t0
 
             report = None

@@ -59,3 +59,32 @@ def profile_trace(log_dir: str | None):
 
     with jax.profiler.trace(log_dir):
         yield
+
+
+def retry_transient(fn, what: str = "device call", attempts: int = 4,
+                    wait_s: float = 75.0, log=None):
+    """Retry ``fn()`` across transient remote-TPU infrastructure faults.
+
+    The axon chip intermittently faults (``UNAVAILABLE``/``ABORTED``,
+    recovering in ~1-5 min); a long suite run or benchmark must not lose
+    everything to one blip.  Only infrastructure errors retry — anything
+    else re-raises immediately.
+    """
+    import time as _time
+
+    emit = log or (lambda m: print(m, flush=True))
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # jax raises XlaRuntimeError subclasses
+            msg = f"{type(e).__name__}: {e}"
+            transient = any(s in msg for s in
+                            ("UNAVAILABLE", "ABORTED", "DEADLINE_EXCEEDED",
+                             "INTERNAL", "Unavailable", "device error"))
+            if not transient or k == attempts - 1:
+                raise
+            emit(f"[retry] transient fault during {what} "
+                 f"(attempt {k + 1}/{attempts}): {msg[:200]}; "
+                 f"retrying in {wait_s:.0f}s")
+            _time.sleep(wait_s)
+            wait_s *= 2
