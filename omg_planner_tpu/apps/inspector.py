@@ -25,7 +25,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..planner import tasks
-from ..planner.scene import PlanningScene, _hand_pose_jit
+from ..planner.scene import (PlanningScene, _hand_pose_batch_jit,
+                             _hand_pose_jit)
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>omg_planner_tpu inspector</title><style>
@@ -157,16 +158,19 @@ class InspectorApp:
         gs = self.scene.goal_set
         if gs is not None:
             mask = np.asarray(gs.mask)
-            for g in np.asarray(gs.grasps)[mask][:24]:
-                hand = np.array(_hand_pose_jit(
+            g = np.asarray(gs.grasps)[mask][:24]
+            if len(g):
+                # one batched dispatch (per-ghost calls each pay a network
+                # round trip on the remote-TPU tunnel)
+                hands = np.asarray(_hand_pose_batch_jit(
                     self.scene.model, jnp.asarray(g, jnp.float32)))
-                ghosts.append([float(v) for v in hand[:3, 3]])
+                ghosts = hands[:, :3, 3].tolist()
         ee = []
         if self.last_traj is not None:
-            for qq in self.last_traj[:: max(len(self.last_traj) // 30, 1)]:
-                hand = np.array(_hand_pose_jit(
-                    self.scene.model, jnp.asarray(qq, jnp.float32)))
-                ee.append([float(v) for v in hand[:3, 3]])
+            qs = self.last_traj[:: max(len(self.last_traj) // 30, 1)]
+            hands = np.asarray(_hand_pose_batch_jit(
+                self.scene.model, jnp.asarray(qs, jnp.float32)))
+            ee = hands[:, :3, 3].tolist()
         return {
             "objects": objects,
             "robot_points": robot_points.tolist(),

@@ -195,6 +195,7 @@ class PointEnv(Env):
 
 
 _hand_pose_jit = jax.jit(panda.hand_pose)
+_hand_pose_batch_jit = jax.jit(panda.hand_pose_batch)
 
 
 @functools.lru_cache(maxsize=64)
