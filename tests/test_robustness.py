@@ -83,3 +83,42 @@ def test_single_object_scene():
     scene = PlanningScene(cfg, env)
     res = scene.step()
     assert res is None or np.isfinite(res.traj).all()
+
+
+def test_retry_transient_retries_infra_and_raises_rest(monkeypatch):
+    from omg_planner_tpu.utils.timing import retry_transient
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("UNAVAILABLE: TPU device error")
+        return "ok"
+
+    logs = []
+    out = retry_transient(flaky, "unit", attempts=4, wait_s=0.01,
+                          log=logs.append)
+    assert out == "ok" and calls["n"] == 3 and len(logs) == 2
+
+    def broken():
+        raise ValueError("shape mismatch")
+
+    try:
+        retry_transient(broken, "unit", attempts=4, wait_s=0.01,
+                        log=logs.append)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("non-transient error must re-raise")
+
+    def always_down():
+        raise RuntimeError("ABORTED: chip gone")
+
+    try:
+        retry_transient(always_down, "unit", attempts=2, wait_s=0.01,
+                        log=logs.append)
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("exhausted attempts must re-raise")
