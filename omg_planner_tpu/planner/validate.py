@@ -17,13 +17,19 @@ finely than the planner's own terminate predicate:
      straddle the target (target surface points between the pads within
      the finger stroke) — the kinematic precondition for the gripper
      close at ``panda_scene.py:470-480``.
-  3. **Lift clearance**: the straight +z lift of the hand by 20 cm (the
+  3. **Antipodal friction cone**: among the points inside the closing
+     volume there must be contact candidates on BOTH pad sides whose
+     outward surface normals lie within the friction cone of the pad
+     travel axis — the quasi-static force-closure precondition of the
+     pinch (a straddle whose surfaces parallel the pads slips under the
+     lift load).
+  4. **Lift clearance**: the straight +z lift of the hand by 20 cm (the
      harness's reward motion) is swept against the scene with the target
      attached, catching plans that grasp successfully but cannot retract.
 
-A plan passing all three fails in physics only through dynamics (slip,
-inertia) — exactly the residual a real-robot deployment validates on
-hardware anyway.  Used by the suite runner for an execution-validated
+A plan passing all four fails in physics only through dynamics (inertia,
+contact softness) — exactly the residual a real-robot deployment
+validates on hardware anyway.  Used by the suite runner for an execution-validated
 success column next to the planner verdicts.
 """
 
@@ -43,13 +49,15 @@ from ..ops.sdf import sdf_potentials
 class ExecutionReport(NamedTuple):
     swept_collision_points: int   # exact-query hits along the fine sweep
     grasp_ok: bool                # fingers straddle the target
+    antipodal_ok: bool            # pad contacts admit a friction-cone pinch
     lift_collision_points: int    # hits along the +z retract sweep
-    valid: bool                   # all three checks pass
+    valid: bool                   # all checks pass
 
     def to_dict(self) -> dict:
         return {
             "swept_collision_points": int(self.swept_collision_points),
             "grasp_ok": bool(self.grasp_ok),
+            "antipodal_ok": bool(self.antipodal_ok),
             "lift_collision_points": int(self.lift_collision_points),
             "valid": bool(self.valid),
         }
@@ -106,6 +114,50 @@ def _grasp_geometry(hand_pose, target_pts_w, finger_opening):
     return (between_pads & in_stroke).any()
 
 
+def _target_surface_normals_obj(target, pts_obj: np.ndarray) -> np.ndarray:
+    """Outward unit surface normals (object frame) at surface points:
+    closed-form for analytic primitives, central-difference of the grid
+    lookup for data-backed volumes."""
+    sdf = target.sdf
+    ana = getattr(sdf, "analytic", None)
+    if ana is not None:
+        from ..ops.sdf import _analytic_sdf_grad
+
+        kind, half, penal = ana
+        _, g = _analytic_sdf_grad(
+            jnp.asarray([kind]), jnp.asarray(half, jnp.float32)[None],
+            jnp.asarray([penal], jnp.float32),
+            jnp.asarray(pts_obj, jnp.float32)[None])
+        n = np.asarray(g[0])
+    else:
+        eps = float(sdf.delta)
+        n = np.stack(
+            [(sdf.get_distance(pts_obj + d) - sdf.get_distance(pts_obj - d))
+             for d in (np.array([eps, 0, 0]), np.array([0, eps, 0]),
+                       np.array([0, 0, eps]))], axis=-1) / (2 * eps)
+    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+
+def _grasp_antipodal(hand_pose, pts_w, normals_w, finger_opening,
+                     mu: float = 0.8) -> bool:
+    """Force-closure precondition of the parallel pinch: among the points
+    inside the closing volume there must be contact candidates on BOTH pad
+    sides whose outward normals lie within the friction cone of the pad
+    travel axis (hand-frame ±y).  This is the quasi-static content of the
+    harness's lift reward (``bullet/panda_scene.py:486-504``) — a straddle
+    whose surfaces are near-parallel to the pads slips out under load."""
+    r, t = np.asarray(hand_pose[:3, :3]), np.asarray(hand_pose[:3, 3])
+    local = (np.asarray(pts_w) - t) @ r
+    n_local = np.asarray(normals_w) @ r
+    near = (np.abs(local[:, 1]) < finger_opening) \
+        & (np.abs(local[:, 0]) < 0.05) & (np.abs(local[:, 2] - 0.103) < 0.05)
+    if not near.any():
+        return False
+    cos_cone = 1.0 / np.sqrt(1.0 + mu * mu)   # cos(atan(mu))
+    ny = n_local[near, 1]
+    return bool((ny > cos_cone).any() and (ny < -cos_cone).any())
+
+
 def validate_execution(scene, traj: np.ndarray,
                        max_joint_step: float = 0.02,
                        lift_height: float = 0.2,
@@ -129,14 +181,21 @@ def validate_execution(scene, traj: np.ndarray,
     target = env.target
     q_end = jnp.asarray(traj[-1], jnp.float32)
     grasp_ok = True
+    antipodal_ok = True
     if target is not None and target.points is not None:
-        pts_w = (np.asarray(target.points) @ target.pose_mat[:3, :3].T
+        pts_obj = np.asarray(target.points)
+        pts_w = (pts_obj @ target.pose_mat[:3, :3].T
                  + target.pose_mat[:3, 3])
         opening = float(np.asarray(traj[-1][-2:]).sum()) or 0.08
+        hand = np.asarray(model_api.tip_pose(model, q_end))
         grasp_ok = bool(np.asarray(_grasp_geometry(
-            model_api.tip_pose(model, q_end),
+            jnp.asarray(hand, jnp.float32),
             jnp.asarray(pts_w, jnp.float32),
             jnp.asarray(opening, jnp.float32))))
+        if grasp_ok:
+            normals_w = _target_surface_normals_obj(
+                target, pts_obj) @ target.pose_mat[:3, :3].T
+            antipodal_ok = _grasp_antipodal(hand, pts_w, normals_w, opening)
 
     # lift sweep: track the hand up by lift_height with the target's own
     # collision disabled (it rides the hand)
@@ -166,5 +225,5 @@ def validate_execution(scene, traj: np.ndarray,
             model, scene_sdf, params_lift,
             jnp.asarray(np.stack(qs), jnp.float32), skip_fingers=True)))
 
-    valid = (swept == 0) and grasp_ok and (lift_hits == 0)
-    return ExecutionReport(swept, grasp_ok, lift_hits, valid)
+    valid = (swept == 0) and grasp_ok and antipodal_ok and (lift_hits == 0)
+    return ExecutionReport(swept, grasp_ok, antipodal_ok, lift_hits, valid)

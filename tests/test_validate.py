@@ -49,3 +49,34 @@ def test_endpoint_away_from_target_fails_grasp(planned):
     rep = validate_execution(scene, bad)
     assert not rep.grasp_ok
     assert not rep.valid
+
+
+def test_antipodal_friction_cone():
+    """Synthetic pinch geometry: pad-facing normals pass, glancing
+    normals fail; analytic-box normals come out axis-aligned."""
+    import numpy as np
+    from omg_planner_tpu.planner.validate import (
+        _grasp_antipodal, _target_surface_normals_obj)
+    from omg_planner_tpu.io.assets import make_primitive, pose_at
+
+    hand = np.eye(4)  # grasp center at local z=0.103
+    # two contact points straddling y with normals facing the pads
+    pts = np.array([[0.0, 0.02, 0.103], [0.0, -0.02, 0.103]])
+    n_good = np.array([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]])
+    assert _grasp_antipodal(hand, pts, n_good, 0.08)
+    # glancing contact: normals orthogonal to the pad travel -> slips
+    n_bad = np.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    assert not _grasp_antipodal(hand, pts, n_bad, 0.08)
+    # one-sided contact fails even in the cone
+    n_one = np.array([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]])
+    assert not _grasp_antipodal(hand, pts, n_one, 0.08)
+
+    box = make_primitive("b", "box", [0.06, 0.06, 0.1],
+                         pose_at([0.0, 0.0, 0.0]), compute_grasp=False)
+    pts_obj = np.array([[0.03, 0.0, 0.0], [-0.03, 0.0, 0.0],
+                        [0.0, 0.03, 0.0], [0.0, 0.0, 0.05]])
+    n = _target_surface_normals_obj(box, pts_obj)
+    np.testing.assert_allclose(n[0], [1, 0, 0], atol=1e-3)
+    np.testing.assert_allclose(n[1], [-1, 0, 0], atol=1e-3)
+    np.testing.assert_allclose(n[2], [0, 1, 0], atol=1e-3)
+    np.testing.assert_allclose(n[3], [0, 0, 1], atol=1e-3)
