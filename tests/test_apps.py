@@ -82,3 +82,32 @@ def test_process_shape_and_sdf_inspect_clis(tmp_path, capsys):
     assert "sdf info:" in out
     assert png.exists() and exp.exists()
     sdf_inspect.main(["-f", str(exp)])  # round-trip loads
+
+
+def test_kitchen_script_grammar_end_to_end(tmp_path):
+    """Kitchen T/P/E/ONCE script drives pick -> place -> move through the
+    synthetic cabinet (reference panda_kitchen_scene.py:440-607 grammar)."""
+    from omg_planner_tpu.apps import kitchen
+    from omg_planner_tpu.config import OMGConfig
+
+    cfg = OMGConfig(silent=True, optim_steps=12, extra_smooth_steps=4,
+                    goal_set_max_num=10, ik_seed_num=2, ik_max_iters=25,
+                    learner_interp_steps=8)
+    scene = kitchen.kitchen_scene(cfg)
+    script = tmp_path / "script.txt"
+    script.write_text("# demo\nONCE\nT mug\nP 0.0,0.25,0.0\nE 3\n")
+    steps = kitchen.parse_script(str(script))
+    assert [s[0] for s in steps] == ["ONCE", "T", "P", "E"]
+    results = kitchen.run_script(scene, steps, fast=True)
+    kinds = [r[0] for r in results]
+    assert kinds == ["pick", "place", "move"]
+    pick = results[0][2]
+    assert pick is not None and bool(pick.flag)
+    place_achieved, place_res = results[1][1], results[1][2]
+    assert place_res is not None
+    import numpy as np
+    # the object landed near the commanded displacement
+    assert np.linalg.norm(np.asarray(place_achieved)[:2, 3]
+                          - np.array([0.52, -0.18 + 0.25])) < 0.15
+    move = results[2][2]
+    assert move is not None and np.isfinite(np.asarray(move.traj)).all()
