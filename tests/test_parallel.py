@@ -76,3 +76,35 @@ def test_pad_objects_disables_dummies():
     r1 = jax.jit(lambda p: plan_fast(model, cfg, p).traj)(pr)
     r2 = jax.jit(lambda p: plan_fast(model, cfg, p).traj)(padded)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+
+def test_vmap_batch_equals_streamed_on_analytic_scenes():
+    """vmapped scene-batch plans must equal independently streamed plans
+    lane-for-lane (batched while_loop select-masks each lane's carry).
+    The analytic backend has no hot-loop gathers, making the vmap batch a
+    viable TPU throughput mode — this guards its semantics."""
+    from omg_planner_tpu.parallel.batch import plan_batch_vmap
+    from omg_planner_tpu.planner.plan import plan_fast
+    from omg_planner_tpu.planner.scene import PlanningScene
+
+    cfg = OMGConfig(silent=True, optim_steps=8, extra_smooth_steps=3,
+                    goal_set_max_num=10, ik_seed_num=2, ik_max_iters=25,
+                    learner_interp_steps=8, sdf_analytic=True)
+    model = panda.load_panda(collision_point_num=cfg.collision_point_num)
+    probs = []
+    for sid in (0, 3):
+        s = PlanningScene.synthetic(cfg, scene_id=sid, n_obstacles=2)
+        probs.append(s.build_problem())
+    max_obj = max(p.cost_params.inv_poses.shape[0] for p in probs)
+    probs = [pad_objects(p, max_obj) for p in probs]
+
+    single = [jax.jit(plan_fast, static_argnums=(1,))(
+        model, cfg.jit_key(), p) for p in probs]
+    batched = jax.jit(plan_batch_vmap, static_argnums=(1,))(
+        model, cfg.jit_key(), stack_problems(probs))
+    for i, s in enumerate(single):
+        np.testing.assert_allclose(np.asarray(batched.traj)[i],
+                                   np.asarray(s.traj), atol=1e-5)
+        assert int(np.asarray(batched.steps_used)[i]) == int(
+            np.asarray(s.steps_used))
+        assert bool(np.asarray(batched.flag)[i]) == bool(np.asarray(s.flag))
