@@ -94,6 +94,12 @@ def main():
     ap.add_argument("-p", "--perception", action="store_true")
     ap.add_argument("-w", "--write_video", action="store_true")
     ap.add_argument("-v", "--vis", action="store_true")
+    ap.add_argument("-vc", "--vis_collision", action="store_true",
+                    help="overlay collision points colored by potential "
+                         "with gradient quivers (reference fast_debug_vis "
+                         "collision mode, core.py:561-630)")
+    ap.add_argument("-vg", "--vis_goalset", action="store_true",
+                    help="overlay goal-set ghost skeletons")
     ap.add_argument("-g", "--grasp", default="grasp",
                     choices=["grasp", "scene"],
                     help="goal init: grasp DB IK, or precomputed scene goals")
@@ -117,11 +123,24 @@ def main():
         res = scene.step(fast=args.fast)
         if res is None:
             return False
-        if args.write_video or args.vis:
-            from .viz.render import render_trajectory, write_video
+        if (args.write_video or args.vis or args.vis_collision
+                or args.vis_goalset):
+            import numpy as np
 
-            frames = render_trajectory(
-                scene.model, scene.env.objects, res.traj, every=2)
+            from .viz.render import (render_trajectory,
+                                     render_trajectory_collision,
+                                     write_video)
+
+            kw = {}
+            if args.vis_goalset and scene.goal_set is not None:
+                m = np.asarray(scene.goal_set.mask)
+                kw["goal_configs"] = np.asarray(scene.goal_set.grasps)[m][:16]
+            if args.vis_collision:
+                frames = render_trajectory_collision(
+                    scene.model, scene, res.traj, every=2, **kw)
+            else:
+                frames = render_trajectory(
+                    scene.model, scene.env.objects, res.traj, every=2, **kw)
             os.makedirs("output_videos", exist_ok=True)
             write_video(frames, f"output_videos/{name}.avi")
             print(f"video: output_videos/{name}.avi")

@@ -423,8 +423,11 @@ class PlanningScene:
         if not cfg.silent:
             n_valid = int(goal_set.mask.sum())
             # parity with the reference's IK-init report (planner.py:445-454)
+            # reference prints a single count (planner.py:445-454); a
+            # "/n_poses" denominator misleads once flip augmentation
+            # doubles the candidate lanes
             print(f"{t.name} IK init time: {time.time()-t0:.3f}, "
-                  f"goal set num: {n_valid}/{poses.shape[0]}")
+                  f"goal set num: {n_valid}")
             if n_valid == 0:
                 print(f"{t.name} IK FAIL")
         return goal_set

@@ -99,6 +99,39 @@ def render_trajectory(model, objects, traj: np.ndarray, every: int = 1,
             for i in range(0, len(traj), every)]
 
 
+def render_trajectory_collision(model, scene, traj: np.ndarray,
+                                every: int = 2, **kw) -> list[np.ndarray]:
+    """Frames with per-configuration collision-point overlays (potentials
+    + gradient quivers) — ``fast_debug_vis`` collision mode
+    (reference ``omg/core.py:561-630``).  ``scene`` is a PlanningScene."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import api as model_api
+    from ..ops.sdf import sdf_potentials
+
+    params = scene.env.cost_params()
+    ssdf = scene.env.scene_sdf()
+
+    @jax.jit
+    def probe(qq):
+        poses = model_api.fk_one(model, qq)
+        x = model_api.point_positions(model, poses)
+        pot, grad, _ = sdf_potentials(
+            ssdf, params.inv_poses, x.reshape(-1, 3), params.epsilons,
+            params.padding_scales, params.clearances, params.disables)
+        return x, pot, grad
+
+    frames = []
+    for i in range(0, len(traj), every):
+        x, pot, grad = probe(jnp.asarray(traj[i], jnp.float32))
+        frames.append(render_frame(
+            model, scene.env.objects, traj[i],
+            collision_pts=np.asarray(x).reshape(-1, 3),
+            potentials=np.asarray(pot), grads=np.asarray(grad), **kw))
+    return frames
+
+
 def write_video(frames, path: str, fps: int = 10):
     """MJPG video via cv2 if present, else an .npz frame dump
     (reference ``make_video_writer``, ``omg/config.py:190-196``)."""
