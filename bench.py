@@ -63,6 +63,7 @@ def main():
                          "stack, or scene-fused world field "
                          "(cfg.sdf_fused)")
     ap.add_argument("--skip-full-budget", action="store_true")
+    ap.add_argument("--skip-pipelined", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the ambient environment "
                          "pins the axon TPU regardless of JAX_PLATFORMS)")
@@ -165,6 +166,37 @@ def main():
                 f"steps {steps_used[-1]} flag {flags[-1]}")
     setup_s = time.time() - setup_t0
 
+    # Pipelined serving throughput: dispatch every scene's staging + plan
+    # asynchronously (no per-scene host sync — the analytic backend stages
+    # ~13 floats/object, and ``assume_goals`` skips the empty-goal check),
+    # block once at the end.  Host staging of scene k+1 overlaps device
+    # work of scene k; per-request latency is the e2e metric above, THIS
+    # is what a saturated service sustains.
+    # Analytic only: the pass keeps every scene's problem alive until the
+    # final block, which is ~13 floats/object there but would swamp HBM
+    # with 100 padded grid stacks (the lax.map abort, DESIGN.md §3b).
+    pipe_rate = None
+    if not args.skip_pipelined and args.backend == "analytic":
+        def pipelined():
+            handles = []
+            t0 = time.time()
+            for scene in scenes:
+                scene._staged = None
+                scene.env._scene_sdf = None
+                if not isinstance(scene.env.scene_sdf(), AnalyticScene):
+                    scene.env._scene_sdf = stage_scene_sdfs(
+                        [o.sdf for o in scene.env.objects],
+                        baked=cfg.sdf_baked, pad_to=pad_to)
+                pr = pad_objects(
+                    scene.build_problem(assume_goals=True), max_obj)
+                handles.append(plan_one(model, cfg.jit_key(), pr))
+            for r in handles:
+                jax.block_until_ready(r.traj)
+            return len(handles) / (time.time() - t0)
+
+        pipe_rate = retry_transient(pipelined, "pipelined pass")
+        log(f"[bench] pipelined: {pipe_rate:.3f} plans/s end-to-end")
+
     warm_build_s = float(np.median(build_walls[1:] or build_walls))
     early_rate = len(early_walls) / float(np.sum(early_walls))
     p50_ms = 1000.0 * float(np.median(early_walls))
@@ -185,6 +217,8 @@ def main():
         "full_budget_plans_per_s": (round(full_rate, 3)
                                     if full_rate else None),
         "end_to_end_plans_per_s": round(e2e_rate, 3),
+        "pipelined_plans_per_s": (round(pipe_rate, 3)
+                                  if pipe_rate else None),
         "p50_plan_latency_ms": round(p50_ms, 2),
         "mean_plan_latency_ms": round(1000 * mean_plan_s, 2),
         "warm_goal_set_build_s": round(warm_build_s, 3),

@@ -432,8 +432,12 @@ class PlanningScene:
                 print(f"{t.name} IK FAIL")
         return goal_set
 
-    def build_problem(self, goal_set: GoalSet | None = None
-                      ) -> plan_mod.PlanProblem:
+    def build_problem(self, goal_set: GoalSet | None = None,
+                      assume_goals: bool = False) -> plan_mod.PlanProblem:
+        """``assume_goals=True`` skips the one host sync (the empty-goal-set
+        check) so a caller can PIPELINE many scenes' staging + plans as
+        pure async dispatches; the caller owns detecting empty goal sets
+        from ``goal_set.mask`` when results come back."""
         self._sync_env_cfg()
         cfg = self.cfg
         env = self.env
@@ -462,8 +466,12 @@ class PlanningScene:
         self.goal_set = goal_set
 
         # initial goal + trajectory (grasp_init, planner.py:188-223)
-        self._n_valid_goals = int(goal_set.mask.sum())  # one device sync
-        have_goals = cfg.goal_set_proj and self._n_valid_goals > 0
+        if assume_goals and cfg.goal_set_proj:
+            self._n_valid_goals = -1  # unknown: caller checks the mask
+            have_goals = True
+        else:
+            self._n_valid_goals = int(goal_set.mask.sum())  # one device sync
+            have_goals = cfg.goal_set_proj and self._n_valid_goals > 0
         if have_goals and not cfg.dynamic_timestep:
             if fused_init is not None:
                 # goal policy + spline init rode the goal-set dispatch
