@@ -24,9 +24,15 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
+from ..models import api as model_api
 from ..planner import tasks
 from ..planner.scene import (PlanningScene, _hand_pose_batch_jit,
                              _hand_pose_jit)
+
+_fk_points_jit = jax.jit(lambda m, q: model_api.point_positions(
+    m, model_api.fk_one(m, q)))
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>omg_planner_tpu inspector</title><style>
@@ -189,9 +195,9 @@ class InspectorApp:
 
         q = (self.last_traj[-1] if self.last_traj is not None
              else self.scene.start)
-        poses = model_api.fk_one(self.scene.model,
-                                 jnp.asarray(q, jnp.float32))
-        pts = np.asarray(model_api.point_positions(self.scene.model, poses))
+        # one jitted dispatch (eager FK = dozens of tunnel round trips)
+        pts = np.asarray(_fk_points_jit(self.scene.model,
+                                        jnp.asarray(q, jnp.float32)))
         rgb, _, _ = render_rgb(self.scene.env.objects, width=320, height=240,
                                robot_points=pts.reshape(-1, 3))
         import matplotlib

@@ -100,33 +100,37 @@ class SuiteRunner:
 
         for sid in pending:
             sc = scenes[sid]
-            # grid-free analytic scenes skip volume staging entirely
-            sc.env._scene_sdf = None
-            if not isinstance(sc.env.scene_sdf(), AnalyticScene):
-                sc.env._scene_sdf = stage_scene_sdfs(
-                    [o.sdf for o in sc.env.objects],
-                    baked=self.cfg.sdf_baked, pad_to=pad_to)
-            t0 = time.time()
 
             def build_and_plan():
-                sc._staged = None  # a faulted attempt must not half-cache
+                # staging + caches reset INSIDE the retried attempt: a
+                # faulted attempt must not leave dead device buffers or a
+                # half-staged cache for the retry to trip over, and the
+                # recorded wall must time the successful attempt only
+                # (not the retry backoff sleeps)
+                t0 = time.time()
+                sc._staged = None
+                sc.env._scene_sdf = None
+                if not isinstance(sc.env.scene_sdf(), AnalyticScene):
+                    # grid-free analytic scenes skip volume staging
+                    sc.env._scene_sdf = stage_scene_sdfs(
+                        [o.sdf for o in sc.env.objects],
+                        baked=self.cfg.sdf_baked, pad_to=pad_to)
                 problem = sc.build_problem()
                 if (self.cfg.goal_set_proj
                         and int(np.asarray(problem.goal_set.mask).sum())
                         == 0):
-                    return None
+                    return None, time.time() - t0
                 problem = pad_objects(problem, max_obj)
                 res = plan_one(model, self.cfg.jit_key(), problem)
-                return jax.tree.map(np.asarray, res)
+                return jax.tree.map(np.asarray, res), time.time() - t0
 
-            res = retry_transient(build_and_plan, f"scene {sid}")
+            res, dt = retry_transient(build_and_plan, f"scene {sid}")
             if res is None:
                 rec = {"success": False, "steps": 0, "no_goals": True,
                        "exec_valid": False, "wall_s": 0.0}
                 self.manifest["done"][str(sid)] = rec
                 self._save_manifest()
                 continue
-            dt = time.time() - t0
 
             report = None
             if self.validate:

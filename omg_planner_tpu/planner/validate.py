@@ -101,6 +101,13 @@ def _ik_one(model, target, seed7, cfg_key, lo7, hi7):
 
 
 @jax.jit
+def _analytic_grad_jit(kind, half, penal, pts):
+    from ..ops.sdf import _analytic_sdf_grad
+
+    return _analytic_sdf_grad(kind, half, penal, pts)
+
+
+@jax.jit
 def _grasp_geometry(hand_pose, target_pts_w, finger_opening):
     """Fingers straddle the target: some target surface point sits inside
     the closing volume between the pads, expressed in the HAND frame
@@ -121,10 +128,9 @@ def _target_surface_normals_obj(target, pts_obj: np.ndarray) -> np.ndarray:
     sdf = target.sdf
     ana = getattr(sdf, "analytic", None)
     if ana is not None:
-        from ..ops.sdf import _analytic_sdf_grad
-
         kind, half, penal = ana
-        _, g = _analytic_sdf_grad(
+        # one jitted dispatch (eager jnp ops each pay a tunnel round trip)
+        _, g = _analytic_grad_jit(
             jnp.asarray([kind]), jnp.asarray(half, jnp.float32)[None],
             jnp.asarray([penal], jnp.float32),
             jnp.asarray(pts_obj, jnp.float32)[None])
