@@ -59,7 +59,9 @@ def pad_objects(problem: PlanProblem, num_objects: int) -> PlanProblem:
             halfs=jnp.concatenate(
                 [sc.halfs, jnp.full((extra, 3), 1e-3, sc.halfs.dtype)]),
             penals=jnp.concatenate(
-                [sc.penals, jnp.ones(extra, sc.penals.dtype)]))
+                [sc.penals, jnp.ones(extra, sc.penals.dtype)]),
+            rounds=jnp.concatenate(
+                [sc.rounds, jnp.zeros(extra, sc.rounds.dtype)]))
         return problem._replace(
             scene=scene, cost_params=_pad_cost_params(
                 problem.cost_params, extra))

@@ -177,6 +177,13 @@ def validate_execution(scene, traj: np.ndarray,
     env = scene.env
     params = env.cost_params()
     scene_sdf = env.scene_sdf()
+    from ..ops.sdf import AnalyticScene
+    if isinstance(scene_sdf, AnalyticScene):
+        # grade against the SHARP true field: the planner's edge rounding
+        # (ops/sdf.py::_analytic_sdf_points) must not hide corner contacts
+        # from the validator
+        scene_sdf = scene_sdf._replace(
+            rounds=jnp.zeros_like(scene_sdf.rounds))
 
     fine = _resample(np.asarray(traj), max_joint_step)
     swept = int(np.asarray(_exact_hits(
