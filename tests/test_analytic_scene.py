@@ -159,3 +159,45 @@ def test_pad_objects_analytic_is_noop_on_potentials():
 
     for a, b in zip(q(problem), q(padded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_rounding_preserves_faces_and_interior():
+    """Edge rounding (ops/sdf.py::_analytic_sdf_points) must equal the
+    sharp field at face-normal lines and in the deep interior — only
+    edge/corner neighborhoods may differ (DESIGN.md 3c)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from omg_planner_tpu.ops.sdf import (_analytic_sdf_grad,
+                                         _analytic_sdf_points)
+
+    kind = jnp.asarray([0])                     # box
+    half = jnp.asarray([[0.05, 0.08, 0.03]])
+    pen = jnp.asarray([5.0])
+    r = jnp.asarray([0.0075])
+    # points along each face normal (outside + inside), plus deep interior
+    pts = []
+    for ax in range(3):
+        for s in (1, -1):
+            for t in (0.02, 0.005, -0.005, -0.02):
+                p = np.zeros(3)
+                p[ax] = s * (float(half[0, ax]) + t)
+                pts.append(p)
+    pts.append([0.0, 0.0, 0.0])
+    pts = jnp.asarray(np.asarray(pts))[None]    # [1, N, 3]
+
+    sharp = _analytic_sdf_points(kind, half, pen, pts)
+    round_ = _analytic_sdf_points(kind, half, pen, pts, rounds=r)
+    np.testing.assert_allclose(np.asarray(round_), np.asarray(sharp),
+                               atol=1e-6)
+    ds, gs_ = _analytic_sdf_grad(kind, half, pen, pts)
+    dr, gr = _analytic_sdf_grad(kind, half, pen, pts, rounds=r)
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(ds), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gs_), atol=1e-6)
+
+    # a corner point DOES differ (that's the point of the rounding) and
+    # its rounded gradient is the smooth diagonal, not an axis vector
+    corner = jnp.asarray([[[0.055, 0.085, 0.035]]])
+    d_sharp = _analytic_sdf_points(kind, half, pen, corner)
+    d_round = _analytic_sdf_points(kind, half, pen, corner, rounds=r)
+    assert float(d_round[0, 0]) > float(d_sharp[0, 0]) - 1e-9
+    assert abs(float(d_round[0, 0]) - float(d_sharp[0, 0])) > 1e-4
