@@ -164,6 +164,15 @@ class OMGConfig:
     ik_pos_tol: float = 1e-4
     ik_rot_tol: float = 1e-3
     ik_damping: float = 1e-4
+    # batched-IK stall gate (ops/ik.py::ik_batch): a lane that hasn't
+    # improved its twist error by >=15% in this many consecutive
+    # iterations stops gating the batch's convergence exit (it keeps
+    # receiving updates; it just can't drag every other lane to
+    # ik_max_iters — the goal-set chain profile showed stragglers costing
+    # 60 iterations where p95 of lanes converge in ~4; window 6 / 15%
+    # halves total chain iterations at ~1% chain-valid lane loss).
+    # 0 disables the gate.
+    ik_stall_window: int = 6
     # two-stage goal-set IK (ops/ik.py::solve_goal_set): a fixed-iteration
     # prefilter over all (grasp x seed) lanes, then a full-budget re-solve
     # of only the `ik_survivor_cap` best-ranked lanes, warm-started.

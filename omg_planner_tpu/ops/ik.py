@@ -128,19 +128,33 @@ def ik_batch(
     can't drag every other lane to the full iteration budget — the round-1
     profile showed failed lanes forcing all 6 chain solves to 60 iterations
     (VERDICT r1 weak #2).
+
+    A second gate (``cfg.ik_stall_window``) drops *stalled* lanes from the
+    convergence exit: a lane whose twist error hasn't improved >=15% in
+    ``ik_stall_window`` consecutive iterations is plateaued — it either
+    already satisfies the (10x looser) acceptance threshold or will fail
+    it regardless, and holding the whole batch at ik_max_iters for it is
+    pure waste (goal-set chain profile: one stuck lane cost 60 iterations
+    where the p95 lane converges in ~4).  The drop is sticky: an
+    oscillating lane (tiny-damping DLS bouncing between basins improves
+    >15% every few iterations without ever converging) would otherwise
+    re-arm its stall counter indefinitely.  Dropped lanes keep receiving
+    Newton updates while the loop runs for others.
     """
     lam = cfg.ik_damping
     exit_tol = cfg.ik_pos_tol
     eye6 = jnp.eye(6, dtype=seeds.dtype)
-    act = (jnp.ones(seeds.shape[0], bool) if active is None
+    b = seeds.shape[0]
+    act = (jnp.ones(b, bool) if active is None
            else active)
+    window = cfg.ik_stall_window
 
     def cond(state):
-        it, _, max_err = state
+        it, _, _, _, max_err = state
         return (it < cfg.ik_max_iters) & (max_err > exit_tol)
 
     def body(state):
-        it, q, _ = state
+        it, q, err_best, stall, _ = state
         e, jac = _batch_error_and_jac(model, q, targets)
         jjt = jnp.einsum("bij,bkj->bik", jac, jac) + lam * eye6
         sol = solve_spd_unrolled(jjt, e)
@@ -148,10 +162,16 @@ def ik_batch(
         dq = jnp.clip(dq, -0.5, 0.5)
         q = jnp.clip(q + dq, lower7, upper7)
         err = jnp.linalg.norm(e, axis=1)
-        return it + 1, q, jnp.where(act, err, 0.0).max()
+        improved = err < 0.85 * err_best
+        dropped = stall >= window  # sticky: never re-arm a dropped lane
+        stall = jnp.where(improved & ~dropped, 0, stall + 1)
+        err_best = jnp.minimum(err_best, err)
+        gate = act if window == 0 else act & (stall < window)
+        return it + 1, q, err_best, stall, jnp.where(gate, err, 0.0).max()
 
-    _, q, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0), seeds, jnp.asarray(jnp.inf)))
+    _, q, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), seeds, jnp.full(b, jnp.inf, seeds.dtype),
+                     jnp.zeros(b, jnp.int32), jnp.asarray(jnp.inf)))
     e, _ = _batch_error_and_jac(model, q, targets)
     b = q.shape[0]
     q9 = jnp.concatenate([q, jnp.full((b, 2), 0.04, q.dtype)], axis=1)
