@@ -22,6 +22,10 @@ manifest mean 29.9 steps at the standard budget):
     latency) — what a user planning a fresh scene actually gets.
   * ``p50_plan_latency_ms``: median of per-scene plan walls
     (VERDICT r1 weak #3: per-plan, not batch-wall).
+  * ``cascade_success_rate`` / ``cascade_e2e_plans_per_s``: the
+    production escalation policy (``planner/cascade.py``) — FAIL
+    verdicts re-plan on the exact grid backend; success above either
+    backend alone, still far inside the reference's 3 s budget.
 
 Scenes stream one at a time (build -> plan -> drop): the suite's SDF
 stacks are ~100 MB+ per scene on device, so staging all 100 at once would
@@ -64,6 +68,7 @@ def main():
                          "(cfg.sdf_fused)")
     ap.add_argument("--skip-full-budget", action="store_true")
     ap.add_argument("--skip-pipelined", action="store_true")
+    ap.add_argument("--skip-cascade", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the ambient environment "
                          "pins the axon TPU regardless of JAX_PLATFORMS)")
@@ -197,6 +202,52 @@ def main():
         pipe_rate = retry_transient(pipelined, "pipelined pass")
         log(f"[bench] pipelined: {pipe_rate:.3f} plans/s end-to-end")
 
+    # Escalation cascade (planner/cascade.py): FAIL verdicts re-plan on the
+    # exact grid backend — measured to lift suite success above the exact
+    # backend's own rate while only the failing fraction pays the grid
+    # cost.  Fallback scenes stage to the suite-wide padded shape so the
+    # exact programs compile exactly once.
+    casc_rate = casc_e2e = None
+    if not args.skip_cascade and args.backend == "analytic":
+        cfg_x = cfg.replace(sdf_analytic=False)
+        casc_flags = list(flags)
+        extra_walls = []
+        for k, scene in enumerate(scenes):
+            if casc_flags[k]:
+                continue
+
+            def fallback():
+                t0 = time.time()
+                scene.cfg = cfg_x
+                scene._sync_env_cfg()
+                scene.env._scene_sdf = stage_scene_sdfs(
+                    [o.sdf for o in scene.env.objects],
+                    baked=cfg_x.sdf_baked, pad_to=pad_to)
+                scene._staged = None
+                pr = pad_objects(scene.build_problem(), max_obj)
+                jax.block_until_ready(pr)
+                r = plan_one(model, cfg_x.jit_key(), pr)
+                jax.block_until_ready(r.traj)
+                return bool(np.asarray(r.flag)), time.time() - t0
+
+            try:
+                ok, dt = retry_transient(fallback, f"cascade scene {k}")
+            finally:
+                scene.cfg = cfg
+                scene.env._scene_sdf = None
+            extra_walls.append(dt)
+            casc_flags[k] = ok
+        casc_rate = float(np.mean(casc_flags))
+        # drop the one-off compile from the first fallback's wall
+        if len(extra_walls) > 1:
+            extra_walls[extra_walls.index(max(extra_walls))] = float(
+                np.median(extra_walls))
+        casc_e2e = len(scenes) / (
+            float(np.sum(build_walls) + np.sum(early_walls))
+            + float(np.sum(extra_walls)))
+        log(f"[bench] cascade: {casc_rate:.2f} success, "
+            f"{casc_e2e:.3f} plans/s e2e")
+
     warm_build_s = float(np.median(build_walls[1:] or build_walls))
     early_rate = len(early_walls) / float(np.sum(early_walls))
     p50_ms = 1000.0 * float(np.median(early_walls))
@@ -222,6 +273,10 @@ def main():
         "p50_plan_latency_ms": round(p50_ms, 2),
         "mean_plan_latency_ms": round(1000 * mean_plan_s, 2),
         "warm_goal_set_build_s": round(warm_build_s, 3),
+        "cascade_success_rate": (round(casc_rate, 3)
+                                 if casc_rate is not None else None),
+        "cascade_e2e_plans_per_s": (round(casc_e2e, 3)
+                                    if casc_e2e is not None else None),
         "success_rate": round(float(np.mean(flags)), 3),
         "success_rate_full_budget": (round(float(np.mean(exec_full)), 3)
                                      if exec_full else None),

@@ -20,7 +20,8 @@ def test_bench_one_scene_cpu():
     rec = json.loads(line)
     for key in ("metric", "value", "unit", "vs_baseline", "backend",
                 "end_to_end_plans_per_s", "p50_plan_latency_ms",
-                "warm_goal_set_build_s", "success_rate", "mean_steps"):
+                "warm_goal_set_build_s", "success_rate", "mean_steps",
+                "cascade_success_rate", "cascade_e2e_plans_per_s"):
         assert key in rec, key
     assert rec["metric"] == "plans_per_second_per_chip"
     assert rec["unit"] == "plans/s"
