@@ -10,10 +10,11 @@ production policy is an escalation cascade: plan with the analytic
 backend, and only when the verdict is FAIL re-stage the scene on the
 exact grid backend and plan again.
 
-Measured on the 100-scene hard suite (v5e, round 2): analytic-only 0.70
-success at 0.17 s/scene end-to-end; the cascade reaches **0.80** — above
-the exact backend's own 0.79 — at a mean ~0.45 s/scene because only the
-~30% FAIL verdicts pay the grid fallback.  Goal-set re-sampling retries
+Measured on the 100-scene hard suite (v5e, round 2,
+``docs/bench_r02_analytic.json``): analytic-only 0.70 success at 7.0
+plans/s end-to-end; the cascade reaches **0.80** — above the exact
+backend's own 0.79 — at 1.8 plans/s e2e (vs exact-alone's 1.11) because
+only the ~30% FAIL verdicts pay the grid fallback.  Goal-set re-sampling retries
 do NOT help: with fewer valid goals than ``goal_set_max_num`` the
 Gumbel-top-k sample is the identity, so a re-keyed rebuild replans the
 identical problem (measured: 0 of 30 failures recovered over 3 retries).
