@@ -131,6 +131,13 @@ class OMGConfig:
     # (0 = all of collision_point_num, the reference behavior); lower values
     # trade scoring resolution for gather bandwidth
     learner_collision_points: int = 0
+    # run the learner's candidate sweep only every k-th optimization step
+    # (1 = every step, the reference behavior, omg/planner.py:614-618).
+    # On the analytic backend the sweep is ~80% of a plan step (DESIGN
+    # §3c step decomposition) while the chosen goal rarely changes
+    # between adjacent steps; k>1 skips the sweep (a real lax.cond, so
+    # skipped steps pay nothing) and holds the previous goal.
+    learner_sweep_every: int = 1
     # pre-bake SDF gradient channels per scene: 8 corner gathers per
     # point/object instead of 56 (exact in the interior; see
     # ops.sdf.BakedSceneSDF)

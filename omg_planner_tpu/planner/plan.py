@@ -157,6 +157,9 @@ def _learner_step(model, cfg, hp, problem: PlanProblem, traj, goal_idx,
     are unsafe under SPMD partitioning.
     """
     do_learn = step < cfg.optim_steps
+    if cfg.learner_sweep_every > 1:
+        # static python branch: the default traces identical HLO
+        do_learn &= (step % cfg.learner_sweep_every) == 0
 
     def run(args):
         traj, lstate, goal_idx = args
