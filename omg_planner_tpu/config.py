@@ -138,6 +138,11 @@ class OMGConfig:
     # between adjacent steps; k>1 skips the sweep (a real lax.cond, so
     # skipped steps pay nothing) and holds the previous goal.
     learner_sweep_every: int = 1
+    # reproduce the reference's top-k branch quirks bit-for-bit (duplicate
+    # fancy-index writes dropped -> one gradient point per (timestep, link);
+    # per-link cost scalar broadcast over timesteps) — parity runs only.
+    # See ops/chomp.py::compute_collision_loss and DESIGN §7 item 1.
+    ref_topk_quirks: bool = False
     # pre-bake SDF gradient channels per scene: 8 corner gathers per
     # point/object instead of 56 (exact in the interior; see
     # ops.sdf.BakedSceneSDF)

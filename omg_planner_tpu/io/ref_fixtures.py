@@ -42,12 +42,15 @@ def write_chomp_pth(path: str, sdf: SignedDensityField) -> None:
     stored = np.ascontiguousarray(sdf.data.transpose(1, 0, 2))
     mn = np.asarray(sdf.origin, np.float64)
     dims = np.asarray(sdf.data.shape, np.float64)
+    # min/max_coords MUST be torch tensors and delta a plain float — the
+    # reference loader calls ``.numpy()`` on them (sdf_tools.py:189-193)
+    # and convert_sdf.py:69-76 writes exactly this
     torch.save(
         {
             "sdf_torch": torch.from_numpy(stored[None, None]),
-            "min_coords": mn,
-            "max_coords": mn + dims * sdf.delta,
-            "delta": np.float64(sdf.delta),
+            "min_coords": torch.from_numpy(mn),
+            "max_coords": torch.from_numpy(mn + dims * sdf.delta),
+            "delta": float(sdf.delta),
         },
         path,
     )
@@ -100,6 +103,83 @@ def write_mat_scene(path: str, object_rel_paths, poses,
     if target_name is not None:
         data["target_name"] = np.array([target_name])
     sio.savemat(path, data)
+
+
+def make_parity_tree(root: str, n_scenes: int = 8) -> list:
+    """A multi-scene reference-format tree for trajectory-parity runs
+    (VERDICT r2 item 1).  Returns the scene ``.mat`` paths; goals are NOT
+    baked here — ``scripts/parity_run.py prepare`` adds per-scene
+    precomputed goal sets (the ``load_goal_from_scene`` format,
+    ``omg/planner.py:155-174``).
+
+    Scene difficulty is deliberate and spans the planner's regimes
+    (measured with the parity config; the straight joint-space spline from
+    the home config arcs DOWN onto the target from z~0.7, so only overhead
+    "shelf" geometry actually contests it — walls and posts between base
+    and target are simply flown over):
+
+      s%4==0  trivial     obstacles clear of every approach (2-step
+                          pre-terminate; pins the trivial-verdict path)
+      s%4==1  mild        shelf at z=0.30 over the target (3-6 steps)
+      s%4==2  contested   lower shelf + side wall: the optimizer must
+                          re-route under the shelf (10-30 steps, learner
+                          goal switches)
+      s%4==3  hard        full low shelf: expected honest FAIL verdicts
+                          on both planners (full budget)
+    """
+    from .assets import pose_at
+
+    objs = os.path.join(root, "data", "objects")
+    grasps = os.path.join(root, "data", "grasps", "simulated")
+    scenes = os.path.join(root, "data", "scenes")
+    for d in (objs, grasps, scenes):
+        os.makedirs(d, exist_ok=True)
+
+    write_object_dir(os.path.join(objs, "parity_box"),
+                     "box", [0.05, 0.05, 0.14])
+    write_grasp_db(os.path.join(grasps, "parity_box.npy"),
+                   synthetic_grasp_db("box", [0.05, 0.05, 0.14]))
+    write_object_dir(os.path.join(objs, "parity_can"),
+                     "cylinder", [0.033, 0.12])
+    write_grasp_db(os.path.join(grasps, "parity_can.npy"),
+                   synthetic_grasp_db("cylinder", [0.033, 0.12]))
+    write_object_dir(os.path.join(objs, "parity_block"),
+                     "box", [0.09, 0.06, 0.07])
+    write_object_dir(os.path.join(objs, "parity_shelf"),
+                     "box", [0.42, 0.50, 0.05], delta=0.014)
+    write_object_dir(os.path.join(objs, "parity_sidewall"),
+                     "box", [0.45, 0.05, 0.24], delta=0.014)
+
+    rng = np.random.default_rng(42)
+    paths = []
+    for s in range(n_scenes):
+        target_kind = ["parity_box", "parity_can"][s % 2]
+        tx = 0.48 + 0.06 * rng.random()
+        ty = -0.08 + 0.16 * rng.random()
+        tpos = [tx, ty, 0.07 if target_kind == "parity_box" else 0.06]
+        rels = [f"data/objects/{target_kind}"]
+        poses = [pose_at(tpos)]
+        kind = s % 4
+        if kind == 1:
+            rels.append("data/objects/parity_shelf")
+            poses.append(pose_at([tx + 0.02, ty, 0.30]))
+        elif kind == 2:
+            side = 1.0 if (s // 4) % 2 else -1.0
+            rels.append("data/objects/parity_shelf")
+            poses.append(pose_at([tx + 0.01, ty, 0.26]))
+            rels.append("data/objects/parity_sidewall")
+            poses.append(pose_at([tx, ty + side * 0.20, 0.12]))
+        elif kind == 3:
+            rels.append("data/objects/parity_shelf")
+            poses.append(pose_at([tx, ty, 0.22]))
+        else:
+            # trivial: a distant block
+            rels.append("data/objects/parity_block")
+            poses.append(pose_at([0.32, ty - 0.25, 0.045]))
+        mat = os.path.join(scenes, f"parity_scene_{s}.mat")
+        write_mat_scene(mat, rels, np.stack(poses), target_name=target_kind)
+        paths.append(mat)
+    return paths
 
 
 def make_fixture_tree(root: str) -> str:

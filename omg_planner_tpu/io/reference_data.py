@@ -59,16 +59,25 @@ def ycb_special_case(pose_grasp: np.ndarray, name: str) -> np.ndarray:
 
 def load_reference_object(data_root: str, rel_path: str, pose_mat,
                           target: bool = False, name: str | None = None,
-                          cfg=None) -> SceneObject:
+                          cfg=None, penalize: bool = True) -> SceneObject:
     """Build a SceneObject from a reference object directory
-    (``Model.__init__``, ``omg/core.py:86-126``)."""
+    (``Model.__init__``, ``omg/core.py:86-126``).
+
+    ``penalize=False`` reproduces the reference's EFFECTIVE runtime grids:
+    its x5 inside-penalty mutates only the numpy ``sdf.data``
+    (``core.py:110``) while ``combine_sdfs`` stacks the pre-penalty
+    ``data_torch`` (``core.py:379``; ``resize`` scales both but never
+    rebuilds, ``sdf_tools.py:37-45``) — so the CUDA kernel never sees the
+    penalty.  Our default keeps the penalty (it is strictly protective);
+    parity runs must switch it off."""
     base = os.path.join(data_root, rel_path)
     sdf = SignedDensityField.from_pth(
         os.path.join(base, "model_normalized_chomp.pth"))
     if cfg is not None:
         sdf.resize(cfg.target_size if target else cfg.obstacle_size)
-        sdf.penalize_inside(cfg.penalize_constant)
-    else:
+        if penalize:
+            sdf.penalize_inside(cfg.penalize_constant)
+    elif penalize:
         sdf.penalize_inside(5.0)
     model_name = rel_path.rstrip("/").split("/")[-1]
     name = name or model_name
@@ -92,7 +101,8 @@ def load_reference_object(data_root: str, rel_path: str, pose_mat,
                        grasps_poses=grasps, extents=extents, points=points)
 
 
-def env_from_mat_scene(cfg, mat_path: str, data_root: str):
+def env_from_mat_scene(cfg, mat_path: str, data_root: str, model=None,
+                       penalize: bool = True):
     """Reference scene ``.mat`` -> Env (``Env.__init__``,
     ``omg/core.py:258-278``): first object is the target unless
     ``target_name`` overrides."""
@@ -100,10 +110,11 @@ def env_from_mat_scene(cfg, mat_path: str, data_root: str):
     from ..planner.scene import Env
 
     scene = load_mat_scene(mat_path)
-    env = Env(cfg)
+    env = Env(cfg, model=model)
     for i, (rel, pose) in enumerate(zip(scene["path"], scene["pose"])):
         env.add_object(load_reference_object(
-            data_root, rel, pose, target=(i == 0), cfg=cfg))
+            data_root, rel, pose, target=(i == 0), cfg=cfg,
+            penalize=penalize))
     if "target_name" in scene:
         env.set_target(scene["target_name"])
     else:

@@ -235,6 +235,31 @@ def compute_collision_loss(
             model_api.finger_link_mask(model), pot.dtype)
         sel = sel * link_mask[None, :, None]
 
+    if cfg.ref_topk_quirks and k:
+        # Reproduce the reference's top-k branch EXACTLY, quirks included
+        # (omg/cost.py:404-421), for trajectory-level parity runs:
+        #   * ``obs_grad[select_n, select_m] += grads`` uses fancy-index
+        #     ``+=`` whose duplicate (timestep, joint) writes are buffered,
+        #     not accumulated — only the LAST selected point per
+        #     (timestep, link) lands, and argsort order makes that the
+        #     highest-potential one.  Effective gradient: one point per
+        #     (timestep, link).
+        #   * ``obs_cost[:, j] += scalar_j`` broadcasts each link's summed
+        #     point cost to every timestep row, inflating the reported
+        #     obstacle sum by T.
+        # Our default (False) accumulates all selected points, as the
+        # reference's own dense branch does (DESIGN §7 item 1).
+        score = jnp.where(sel > 0, pot, -jnp.inf)
+        best = jnp.argmax(score, axis=-1)                      # [T, L]
+        onehot = jax.nn.one_hot(best, p, dtype=pot.dtype)      # [T, L, P]
+        any_sel = (sel.sum(-1, keepdims=True) > 0).astype(pot.dtype)
+        gsel = onehot * any_sel
+        obs_cost = jnp.broadcast_to(
+            (cost_pt * sel).sum((0, -1))[None, :], cost_pt.shape[:2])
+        obs_grad = jnp.einsum("tjpdc,tjpc->td", jac,
+                              direction * gsel[..., None])
+        return obs_cost, obs_grad, collide
+
     obs_cost = (cost_pt * sel).sum(-1)  # [T, 10]
     # grad[t, d] = sum_{j, p} sel * J[t,j,p,d,:] . direction[t,j,p,:]
     obs_grad = jnp.einsum("tjpdc,tjpc->td", jac, direction * sel[..., None])

@@ -59,29 +59,48 @@ def _fail_rank(res) -> tuple:
 
 def plan_cascade(scene: PlanningScene,
                  backends: Sequence[str] = ("analytic", "exact"),
-                 fast: bool = True) -> CascadeResult | None:
+                 fast: bool = True,
+                 warm_start: bool = True) -> CascadeResult | None:
     """Plan ``scene`` escalating through ``backends`` until one verdict is
     SUCCESS; on total failure return the least-bad attempt by
     :func:`_fail_rank`.
 
+    ``warm_start`` resumes each fallback from the previous attempt's final
+    trajectory (``scene.step(traj_init=...)``) instead of re-solving from
+    the spline init — the cheap backend's FAIL is usually *almost* valid
+    (rounded-corner clearance or residual smoothing), so the exact grid
+    finishes in a fraction of the optimization steps.
+
     Backend switches go through ``scene.cfg`` exactly like the task
     layer's explicit config overrides (``planner/tasks.py``): the staged
     caches key on ``cfg.jit_key()`` so each backend stages and compiles
-    once, and the session cfg is restored afterwards.  Returns ``None``
-    only if every backend refused to plan (empty goal set — the IK-FAIL
-    refusal path)."""
+    once (a backend whose fields already match the session cfg re-stages
+    nothing), and the session cfg is restored afterwards.  Returns
+    ``None`` only if every backend refused to plan (empty goal set — the
+    IK-FAIL refusal path).  ``attempts`` counts backends that produced a
+    plan; an IK-FAIL refusal skips to the next backend WITHOUT counting —
+    the ``continue`` (not ``break``) matters because goal-set validity is
+    collision-filtered against each backend's own SDF, so a stricter
+    backend can still find valid goals."""
     base_cfg: OMGConfig = scene.cfg
     best = None
     attempts = 0
+    warm = None
     try:
         for name in backends:
-            scene.cfg = base_cfg.replace(**BACKENDS[name])
-            res = scene.step(fast=fast)
-            if res is None:  # IK FAIL: no backend changes the grasp DB
+            over = BACKENDS[name]
+            if any(getattr(base_cfg, k) != v for k, v in over.items()):
+                scene.cfg = base_cfg.replace(**over)
+            else:
+                scene.cfg = base_cfg
+            res = scene.step(fast=fast, traj_init=warm)
+            if res is None:  # IK FAIL on this backend's goal filtering
                 continue
             attempts += 1
             if bool(np.asarray(res.flag)):
                 return CascadeResult(res, name, attempts, True)
+            if warm_start:
+                warm = np.asarray(res.traj)
             if best is None or _fail_rank(res) < _fail_rank(best[0]):
                 best = (res, name)
     finally:

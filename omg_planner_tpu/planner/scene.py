@@ -389,10 +389,16 @@ class PlanningScene:
     def _sync_env_cfg(self):
         """Env staging (cost_params, sdf baking) must see the session's
         cfg — task-layer overrides (collision-disable lists, standoff mode)
-        replace ``self.cfg`` (the reference mutates one global instead)."""
+        replace ``self.cfg`` (the reference mutates one global instead).
+        Staged SDFs are invalidated only when a device-relevant field
+        actually changed (``jit_key``): a value-equal replacement (e.g. the
+        cascade re-selecting the session's own backend) must not re-pay a
+        voxel re-synthesis."""
         if self.env.cfg is not self.cfg:
+            invalidate = self.env.cfg.jit_key() != self.cfg.jit_key()
             self.env.cfg = self.cfg
-            self.env._scene_sdf = None
+            if invalidate:
+                self.env._scene_sdf = None
 
     # -- staging ----------------------------------------------------------
     def build_goal_set(self) -> GoalSet:
@@ -571,10 +577,20 @@ class PlanningScene:
     def _get_plan_fn(self, fast: bool):
         return _plan_fn(self.cfg.jit_key(), fast)
 
-    def step(self, fast: bool = False) -> plan_mod.PlanResult:
+    def step(self, fast: bool = False,
+             traj_init: np.ndarray | None = None) -> plan_mod.PlanResult:
         """One full plan (reference ``PlanningScene.step``,
-        ``omg/core.py:694-699``)."""
+        ``omg/core.py:694-699``).
+
+        ``traj_init`` warm-starts the optimization from a given [T, 9]
+        trajectory instead of the start->goal spline — the escalation
+        cascade resumes a FAILed cheap-backend attempt on the exact grid
+        (planner/cascade.py) rather than re-solving from scratch.  Same
+        shapes, so no recompilation."""
         problem = self.build_problem()
+        if traj_init is not None:
+            ti = jnp.asarray(traj_init, jnp.float32)
+            problem = problem._replace(traj_init=ti, end=ti[-1])
         n_valid = self._n_valid_goals
         if self.cfg.goal_set_proj and n_valid == 0:
             if not self.cfg.silent:

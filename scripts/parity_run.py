@@ -1,163 +1,216 @@
-"""Reference-parity harness: run this planner and the original OMG-Planner
-on the same scenes and diff trajectories/verdicts (VERDICT r1 item 5b).
+"""Trajectory-level parity against the ACTUAL reference, in this image.
 
-Three modes, composable:
+Round 3 (VERDICT r2 item 1): the reference runs HERE, on CPU, through
+``omg_planner_tpu.io.ref_shims`` — tiny fakes for easydict/transforms3d/
+IPython/PyKDL/renderer, a numpy port of the CUDA collision kernel
+(bit-semantics of ``layers/sdf_matching_loss_kernel.cu:96-262``), and
+identity-``.cuda()`` torch patches.  The fixed-goal scene path
+(``omg/planner.py:155-174``) never touches PyKDL IK, so the whole
+CHOMP + online-learner pipeline is the reference's own code.
 
-  record-ours    run this framework on reference-format scenes, save
-                 ``<out>/ours_<scene>.npz`` (trajectory, verdict, goals).
-  record-ref     import the reference from ``--reference`` and run its
-                 ``PlanningScene`` on the same scenes, save
-                 ``<out>/ref_<scene>.npz``.  If the reference cannot be
-                 imported, print the exact blockers and exit 2 — the
-                 record can be produced on any CUDA machine with the
-                 OMG-Planner environment and copied here.
-  compare        diff ``ours_*`` vs ``ref_*`` records with stated
-                 tolerances.
+Modes (composable; all default ``--ws .parity_ws``):
 
-Tolerances (``--tol-*``): the two implementations share semantics but not
-arithmetic order, PRNG, or IK internals, so trajectories are compared
-where comparable: identical verdicts are required; when both succeed, the
-final configuration must reach SOME valid goal of the other's goal set
-within ``--tol-goal`` (joint L-inf, default 0.05 rad) and the trajectories
-must agree pointwise within ``--tol-traj`` (default 0.15 rad) after
-goal-matching.  Hard equality is wrong to demand: the reference's own
-output changes with its process-global numpy seed.
+  prepare      build the parity workspace: robot assets + N fixture
+               scenes (exact reference formats) + per-scene precomputed
+               goal sets (OUR goal-set builder; both planners then consume
+               the identical goal set — the controlled experiment is the
+               CHOMP loop + learner).
+  record-ref   run the reference's ``PlanningScene.step()`` per scene.
+  record-ours  run this framework with reference-matched knobs: exact
+               grid backend, no inside-penalty (the reference's penalty
+               never reaches its kernel grids — see
+               ``io/reference_data.py::load_reference_object``), shared
+               collision points (right finger = left finger file, as the
+               reference loads).
+  compare      per-scene verdicts, final-config-to-goal distances,
+               per-step trajectory L-inf/L2, learner goal-choice
+               agreement; writes ``parity_report.json``.
 
-Current blockers for record-ref IN THIS IMAGE (documented per VERDICT):
-``transforms3d`` and ``PyKDL`` are not installed (and installs are
-disallowed), and the reference's CHOMP cost needs its CUDA extension
-(``layers/sdf_matching_loss``) — no GPU here.  record-ours and compare
-run fine; record-ref runs on a reference-capable machine.
+Tolerances: the implementations share semantics but not arithmetic order
+or learner sample density (DESIGN §7), so hard equality is wrong; the
+north-star check is verdict agreement + final configuration reaching the
+same goal within ``--tol-goal`` + pointwise trajectory agreement within
+``--tol-traj``.
 
 Usage:
-  python scripts/parity_run.py record-ours --data <root> [--scenes G] --out parity/
-  python scripts/parity_run.py record-ours --fixtures --out parity/
-  python scripts/parity_run.py record-ref --reference /root/reference --data <root> --out parity/
-  python scripts/parity_run.py compare --out parity/
+  python scripts/parity_run.py prepare  [--n-scenes 6]
+  python scripts/parity_run.py record-ref
+  python scripts/parity_run.py record-ours
+  python scripts/parity_run.py compare
 """
 
 import argparse
 import glob
-import importlib
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
 def log(m):
     print(m, flush=True)
 
 
-def _scene_paths(args):
-    if args.fixtures:
-        import tempfile
-
-        from omg_planner_tpu.io.ref_fixtures import make_fixture_tree
-
-        root = tempfile.mkdtemp(prefix="parity_fixtures_")
-        mat = make_fixture_tree(root)
-        return [mat], root
-    pattern = args.scenes or os.path.join(args.data, "data/scenes/*.mat")
-    paths = sorted(glob.glob(pattern))
+def _scene_mats(ws):
+    paths = sorted(glob.glob(os.path.join(ws, "data/scenes/parity_scene_*.mat")))
     if not paths:
-        log(f"no scenes match {pattern}")
+        log(f"no parity scenes under {ws}; run prepare first")
         sys.exit(1)
-    return paths, args.data
+    return paths
 
 
-def record_ours(args):
+def _ours_cfg():
+    """Our config with every reference-deviating default switched to the
+    reference-exact path (DESIGN §7 items 4/5; backends to exact grid)."""
     from omg_planner_tpu.config import OMGConfig
+
+    return OMGConfig(
+        silent=True,
+        sdf_analytic=False, sdf_fused=False, sdf_baked=False,
+        learner_world_potential=False,
+        use_standoff=False,           # scene-goal mode (planner.py:161-162)
+        ref_topk_quirks=True,         # reference top-k accumulation quirks
+    )
+
+
+def _parity_model():
+    from omg_planner_tpu.io.ref_shims import parity_collision_points
+    from omg_planner_tpu.models import panda
+
+    model = panda.load_panda(collision_point_num=15)
+    import jax.numpy as jnp
+    return model._replace(
+        collision_points=jnp.asarray(parity_collision_points(), jnp.float32))
+
+
+def prepare(args):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import scipy.io as sio
+
+    from omg_planner_tpu.io import ref_fixtures, ref_shims
     from omg_planner_tpu.io.reference_data import env_from_mat_scene
     from omg_planner_tpu.planner.scene import PlanningScene
 
-    paths, data_root = _scene_paths(args)
-    os.makedirs(args.out, exist_ok=True)
-    cfg = OMGConfig(silent=True)
-    for mat in paths:
+    ws = os.path.abspath(args.ws)
+    ref_shims.build_ref_workspace(ws)
+    mats = ref_fixtures.make_parity_tree(ws, n_scenes=args.n_scenes)
+    cfg = _ours_cfg()
+    model = _parity_model()
+    kept = []
+    for mat in mats:
         name = os.path.splitext(os.path.basename(mat))[0]
-        env, scene_dict = env_from_mat_scene(cfg, mat, data_root)
+        env, _ = env_from_mat_scene(cfg, mat, ws, model=model,
+                                    penalize=False)
         ps = PlanningScene(cfg, env)
-        if "goals" in scene_dict and len(scene_dict["goals"]):
-            # scene files with precomputed goal sets: same mode as the
-            # reference's load_goal_from_scene (planner.py:155-174)
-            ps.set_precomputed_goals(scene_dict["goals"],
-                                     scene_dict.get("reach_grasps"))
-        res = ps.step(fast=True)
-        out = os.path.join(args.out, f"ours_{name}.npz")
-        if res is None:
-            np.savez(out, traj=np.zeros((0, 9)), flag=False, no_goals=True)
-            log(f"{name}: NO GOALS -> {out}")
+        gs = ps.build_goal_set()
+        mask = np.asarray(gs.mask)
+        goals = np.asarray(gs.grasps)[mask]
+        if len(goals) < 3:
+            log(f"{name}: only {len(goals)} goals, dropping scene")
+            os.remove(mat)
             continue
-        gs = ps.goal_set
-        np.savez(
-            out, traj=np.asarray(res.traj), flag=bool(res.flag),
-            steps_used=int(res.steps_used),
-            collide=float(res.info.collide), smooth=float(res.info.smooth),
-            goals=np.asarray(gs.grasps)[np.asarray(gs.mask)]
-            if gs is not None else np.zeros((0, 9)))
-        log(f"{name}: flag={bool(res.flag)} steps={int(res.steps_used)} "
-            f"-> {out}")
+        d = sio.loadmat(mat)
+        d["goals"] = goals.astype(np.float64)
+        d["reach_grasps"] = np.zeros((len(goals), cfg.reach_tail_length, 9))
+        sio.savemat(mat, d)
+        kept.append(name)
+        log(f"{name}: {len(goals)} precomputed goals baked")
+    log(f"workspace ready: {ws} ({len(kept)} scenes)")
 
 
 def record_ref(args):
-    sys.path.insert(0, args.reference)
-    missing = []
-    for dep in ("transforms3d", "PyKDL", "torch", "scipy", "IPython",
-                "easydict", "cv2", "tabulate", "psutil"):
-        try:
-            importlib.import_module(dep)
-        except ImportError:
-            missing.append(dep)
-    cuda_ok = False
-    try:
-        import torch
+    from omg_planner_tpu.io import ref_shims
 
-        cuda_ok = torch.cuda.is_available()
-    except ImportError:
-        pass
-    if missing or not cuda_ok:
-        log("record-ref blocked in this environment:")
-        for d in missing:
-            log(f"  - python package missing: {d}")
-        if not cuda_ok:
-            log("  - torch.cuda unavailable: the reference CHOMP cost "
-                "requires its CUDA extension (layers/sdf_matching_loss)")
-        log("run this mode on a machine with the OMG-Planner environment "
-            "(its Dockerfile) and copy the ref_*.npz records back.")
-        sys.exit(2)
+    ws = os.path.abspath(args.ws)
+    ref_shims.install(args.reference)
+    ref_shims.configure_reference(ws, silent=False)
+    out = os.path.join(ws, "records")
+    os.makedirs(out, exist_ok=True)
 
-    # reference-capable machine from here on
-    from omg.core import PlanningScene as RefScene  # noqa: the reference
-    from omg.config import cfg as ref_cfg
+    from omg.core import PlanningScene as RefScene  # noqa: after shims
+    from omg import config as ref_config
 
-    paths, _ = _scene_paths(args)
-    os.makedirs(args.out, exist_ok=True)
-    for mat in paths:
+    for mat in _scene_mats(ws):
         name = os.path.splitext(os.path.basename(mat))[0]
-        ref_cfg.scene_file = name
-        scene = RefScene(ref_cfg)
+        ref_shims.configure_reference(ws, scene_file=name)
+        t0 = time.time()
+        scene = RefScene(ref_config.cfg)
         scene.reset()
         info = scene.step()
-        traj = scene.planner.history_trajectories[-1]
-        np.savez(os.path.join(args.out, f"ref_{name}.npz"),
-                 traj=np.asarray(traj),
-                 flag=bool(info[-1]["terminate"]),
-                 goals=np.asarray(scene.traj.goal_set))
-        log(f"{name}: recorded reference run")
+        wall = time.time() - t0
+        hist = np.stack(scene.planner.history_trajectories)
+        np.savez(
+            os.path.join(out, f"ref_{name}.npz"),
+            traj=hist[-1], history=hist,
+            flag=bool(info[-1]["terminate"]),
+            steps_used=len(info),
+            selected_goals=np.asarray(scene.planner.selected_goals),
+            collide=float(info[-1]["collide"]),
+            smooth=float(info[-1]["smooth"]),
+            goals=np.asarray(scene.traj.goal_set),
+            wall=wall)
+        log(f"{name}: ref flag={bool(info[-1]['terminate'])} "
+            f"steps={len(info)} wall={wall:.1f}s")
+
+
+def record_ours(args):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from omg_planner_tpu.io.reference_data import env_from_mat_scene
+    from omg_planner_tpu.io.scene_io import load_mat_scene
+    from omg_planner_tpu.planner.scene import PlanningScene
+
+    ws = os.path.abspath(args.ws)
+    out = os.path.join(ws, "records")
+    os.makedirs(out, exist_ok=True)
+    cfg = _ours_cfg()
+    model = _parity_model()
+    for mat in _scene_mats(ws):
+        name = os.path.splitext(os.path.basename(mat))[0]
+        scene_dict = load_mat_scene(mat)
+        env, _ = env_from_mat_scene(cfg, mat, ws, model=model,
+                                    penalize=False)
+        ps = PlanningScene(cfg, env)
+        ps.set_precomputed_goals(scene_dict["goals"],
+                                 scene_dict.get("reach_grasps"))
+        t0 = time.time()
+        res = ps.step(fast=False)
+        wall = time.time() - t0
+        if res is None:
+            np.savez(os.path.join(out, f"ours_{name}.npz"),
+                     traj=np.zeros((0, 9)), flag=False, no_goals=True)
+            log(f"{name}: NO GOALS")
+            continue
+        np.savez(
+            os.path.join(out, f"ours_{name}.npz"),
+            traj=np.asarray(res.traj),
+            history=np.asarray(res.history),
+            flag=bool(res.flag), steps_used=int(res.steps_used),
+            selected_goals=np.asarray(res.selected_goals),
+            collide=float(res.info.collide), smooth=float(res.info.smooth),
+            goals=scene_dict["goals"], wall=wall)
+        log(f"{name}: ours flag={bool(res.flag)} "
+            f"steps={int(res.steps_used)} wall={wall:.1f}s")
 
 
 def compare(args):
-    ours = sorted(glob.glob(os.path.join(args.out, "ours_*.npz")))
+    ws = os.path.abspath(args.ws)
+    out = os.path.join(ws, "records")
     report = {"scenes": [], "tol_traj": args.tol_traj,
               "tol_goal": args.tol_goal}
     n_cmp = n_agree = 0
-    for op in ours:
+    for op in sorted(glob.glob(os.path.join(out, "ours_*.npz"))):
         name = os.path.basename(op)[5:-4]
-        rp = os.path.join(args.out, f"ref_{name}.npz")
+        rp = os.path.join(out, f"ref_{name}.npz")
         row = {"scene": name}
         if not os.path.exists(rp):
             row["status"] = "no reference record"
@@ -165,59 +218,66 @@ def compare(args):
             continue
         o, r = np.load(op), np.load(rp)
         n_cmp += 1
-        row["flag_ours"] = bool(o["flag"])
-        row["flag_ref"] = bool(r["flag"])
+        row["flag_ours"], row["flag_ref"] = bool(o["flag"]), bool(r["flag"])
+        row["steps_ours"] = int(o["steps_used"])
+        row["steps_ref"] = int(r["steps_used"])
+        to, tr = o["traj"], r["traj"]
+        if to.shape == tr.shape and len(to):
+            row["traj_linf"] = float(np.abs(to - tr).max())
+            row["traj_l2_mean"] = float(
+                np.linalg.norm(to - tr, axis=-1).mean())
+        # learner agreement over common steps
+        so, sr = o["selected_goals"], r["selected_goals"]
+        k = min(len(so), len(sr))
+        if k:
+            row["goal_choice_agree"] = float((so[:k] == sr[:k]).mean())
+            row["final_goal_ours"] = int(so[k - 1])
+            row["final_goal_ref"] = int(sr[k - 1])
+        # per-step divergence curve (common prefix)
+        ho, hr = o.get("history"), r.get("history")
+        if ho is not None and hr is not None and ho.ndim == 3:
+            m = min(len(ho), len(hr))
+            row["history_linf"] = [
+                round(float(np.abs(ho[i] - hr[i]).max()), 4)
+                for i in range(m)]
         if row["flag_ours"] != row["flag_ref"]:
             row["status"] = "VERDICT MISMATCH"
             report["scenes"].append(row)
             continue
         if row["flag_ours"]:
-            to, tr = o["traj"], r["traj"]
-            # final configuration reaches one of the other's goals
             end_goal = float(np.abs(
                 r["goals"][:, :7] - to[-1][None, :7]).max(-1).min()) \
                 if len(r["goals"]) else float("nan")
             row["end_to_ref_goal_linf"] = end_goal
-            if to.shape == tr.shape:
-                row["traj_linf"] = float(np.abs(to - tr).max())
-                row["traj_ok"] = row["traj_linf"] <= args.tol_traj
             row["goal_ok"] = end_goal <= args.tol_goal
-            ok = row.get("goal_ok", False)
+            row["traj_ok"] = row.get("traj_linf", np.inf) <= args.tol_traj
+            ok = row["goal_ok"]
         else:
-            ok = True  # agreeing failure verdicts
+            ok = True
         row["status"] = "agree" if ok else "DIVERGED"
         n_agree += ok
         report["scenes"].append(row)
     report["compared"] = n_cmp
     report["agree"] = n_agree
-    out = os.path.join(args.out, "parity_report.json")
-    with open(out, "w") as f:
+    path = os.path.join(out, "parity_report.json")
+    with open(path, "w") as f:
         json.dump(report, f, indent=1)
     log(json.dumps(report, indent=1))
-    log(f"-> {out}")
+    log(f"-> {path}")
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["record-ours", "record-ref", "compare"])
+    ap.add_argument("mode", choices=["prepare", "record-ours", "record-ref",
+                                     "compare"])
     ap.add_argument("--reference", default="/root/reference")
-    ap.add_argument("--data", default=None,
-                    help="OMG-Planner data root (the download)")
-    ap.add_argument("--scenes", default=None, help="glob of scene .mat")
-    ap.add_argument("--fixtures", action="store_true",
-                    help="use generated reference-format fixtures instead "
-                         "of real data")
-    ap.add_argument("--out", default="parity")
+    ap.add_argument("--ws", default=os.path.join(REPO, ".parity_ws"))
+    ap.add_argument("--n-scenes", type=int, default=6)
     ap.add_argument("--tol-traj", type=float, default=0.15)
     ap.add_argument("--tol-goal", type=float, default=0.05)
-    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    {"record-ours": record_ours, "record-ref": record_ref,
-     "compare": compare}[args.mode](args)
+    {"prepare": prepare, "record-ours": record_ours,
+     "record-ref": record_ref, "compare": compare}[args.mode](args)
 
 
 if __name__ == "__main__":
