@@ -18,8 +18,11 @@ manifest mean 29.9 steps at the standard budget):
     which also excludes IK).
   * ``full_budget_plans_per_s``: termination disabled — every plan runs
     the fixed 50+20 steps; raw optimizer throughput.
-  * ``end_to_end_plans_per_s``: 1 / (warm goal-set build + per-plan
-    latency) — what a user planning a fresh scene actually gets.
+  * ``end_to_end_plans_per_s``: suite throughput through the PRODUCTION
+    pipelined executor (``planner/runner.py::plan_pipelined`` — the same
+    path ``SuiteRunner.run`` and serve's ``/plan_batch`` use);
+    ``serial_e2e_plans_per_s`` = 1 / (warm goal-set build + per-plan
+    latency) is the one-request latency rate.
   * ``p50_plan_latency_ms``: median of per-scene plan walls
     (VERDICT r1 weak #3: per-plan, not batch-wall).
   * ``cascade_success_rate`` / ``cascade_e2e_plans_per_s``: the
@@ -72,6 +75,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the ambient environment "
                          "pins the axon TPU regardless of JAX_PLATFORMS)")
+    ap.add_argument("--active-goals", type=int, default=0,
+                    help="cfg.learner_active_goals A/B knob")
+    ap.add_argument("--refresh-every", type=int, default=0,
+                    help="cfg.learner_refresh_every A/B knob")
     args, _ = ap.parse_known_args()
 
     import jax
@@ -86,7 +93,9 @@ def main():
 
     # standard reference budget: T=30, 50+20 steps, <=100 goals
     cfg = OMGConfig(silent=True, sdf_fused=args.backend == "fused",
-                    sdf_analytic=args.backend == "analytic")
+                    sdf_analytic=args.backend == "analytic",
+                    learner_active_goals=args.active_goals,
+                    learner_refresh_every=args.refresh_every)
     cfg_full = cfg.replace(pre_terminate=False)
     model = panda.load_panda(collision_point_num=cfg.collision_point_num)
     plan_one = jax.jit(plan_fast, static_argnums=(1,))
@@ -105,7 +114,8 @@ def main():
     from omg_planner_tpu.parallel.batch import pad_objects
 
     build_walls, early_walls, full_walls = [], [], []
-    n_valid, flags, steps_used, exec_full = [], [], [], []
+    n_valid, flags, steps_used, exec_full, goal_idxs = [], [], [], [], []
+    failed_problems = {}
     compile_walls = {}
     from omg_planner_tpu.ops.sdf import AnalyticScene
 
@@ -149,6 +159,7 @@ def main():
                                     "plan rerun")
         early_walls.append(dt)
         flags.append(bool(np.asarray(r.flag)))
+        goal_idxs.append(int(np.asarray(r.goal_idx)))
         steps_used.append(int(np.asarray(r.steps_used)))
 
         if not args.skip_full_budget:
@@ -162,8 +173,13 @@ def main():
             full_walls.append(dt)
             exec_full.append(bool(np.asarray(rf.info.execute)))
 
-        # drop device buffers before the next scene (HBM discipline)
+        # drop device buffers before the next scene (HBM discipline);
+        # FAILED analytic problems stay alive for the cascade's blacklist
+        # retries (tiny: ~13 floats/object, no grids) so the fallback
+        # skips re-staging + goal-set rebuild
         scene.env._scene_sdf = None
+        if not flags[-1] and args.backend == "analytic":
+            failed_problems[k] = problem
         del problem, r
         if k < 3 or k % 20 == 0:
             log(f"[bench] scene {k}: build {build_walls[-1]:.2f}s "
@@ -171,36 +187,31 @@ def main():
                 f"steps {steps_used[-1]} flag {flags[-1]}")
     setup_s = time.time() - setup_t0
 
-    # Pipelined serving throughput: dispatch every scene's staging + plan
-    # asynchronously (no per-scene host sync — the analytic backend stages
-    # ~13 floats/object, and ``assume_goals`` skips the empty-goal check),
-    # block once at the end.  Host staging of scene k+1 overlaps device
-    # work of scene k; per-request latency is the e2e metric above, THIS
-    # is what a saturated service sustains.
-    # Analytic only: the pass keeps every scene's problem alive until the
-    # final block, which is ~13 floats/object there but would swamp HBM
-    # with 100 padded grid stacks (the lax.map abort, DESIGN.md §3b).
+    # End-to-end suite throughput through the PRODUCTION path
+    # (planner/runner.py::plan_pipelined — the same executor
+    # SuiteRunner.run and serve's /plan_batch use): up to `depth` scenes'
+    # staging+plan dispatches in flight, so host staging of scene k+1
+    # overlaps device work of scene k.  Round 2 measured this with a
+    # bench-only loop while the runner executed serially; round 3 made the
+    # overlap the real path (VERDICT r2 item 5).  The depth-limited window
+    # keeps device memory O(depth) scenes, so grid backends pipeline too.
     pipe_rate = None
-    if not args.skip_pipelined and args.backend == "analytic":
+    if not args.skip_pipelined:
+        from omg_planner_tpu.planner.runner import plan_pipelined
+
         def pipelined():
-            handles = []
             t0 = time.time()
-            for scene in scenes:
-                scene._staged = None
-                scene.env._scene_sdf = None
-                if not isinstance(scene.env.scene_sdf(), AnalyticScene):
-                    scene.env._scene_sdf = stage_scene_sdfs(
-                        [o.sdf for o in scene.env.objects],
-                        baked=cfg.sdf_baked, pad_to=pad_to)
-                pr = pad_objects(
-                    scene.build_problem(assume_goals=True), max_obj)
-                handles.append(plan_one(model, cfg.jit_key(), pr))
-            for r in handles:
-                jax.block_until_ready(r.traj)
-            return len(handles) / (time.time() - t0)
+            k = 0
+            for _sid, _sc, _res, _dt in plan_pipelined(
+                    list(enumerate(scenes)), cfg, model=model,
+                    depth=8 if args.backend == "analytic" else 3,
+                    pad_to=pad_to, max_obj=max_obj):
+                k += 1
+            return k / (time.time() - t0)
 
         pipe_rate = retry_transient(pipelined, "pipelined pass")
-        log(f"[bench] pipelined: {pipe_rate:.3f} plans/s end-to-end")
+        log(f"[bench] pipelined (production runner path): "
+            f"{pipe_rate:.3f} plans/s end-to-end")
 
     # Escalation cascade (planner/cascade.py): FAIL verdicts re-plan on the
     # exact grid backend — measured to lift suite success above the exact
@@ -209,41 +220,101 @@ def main():
     # exact programs compile exactly once.
     casc_rate = casc_e2e = None
     if not args.skip_cascade and args.backend == "analytic":
+        import jax.numpy as jnp
+
+        from omg_planner_tpu.planner.cascade import goal_blacklist
+
         cfg_x = cfg.replace(sdf_analytic=False)
         casc_flags = list(flags)
         extra_walls = []
+
+        def _retry_loop(pr, cfg_b, gi, retries=3):
+            """Goal-blacklist retries on an already-staged problem: pure
+            data changes (mask swap), same compiled program."""
+            gs_ = pr.goal_set
+            mask = np.asarray(gs_.mask).copy()
+            for _ in range(retries):
+                mask = goal_blacklist(gs_, mask, gi)
+                if not mask.any():
+                    return False, gi
+                r = plan_one(model, cfg_b.jit_key(), pr._replace(
+                    goal_set=gs_._replace(mask=jnp.asarray(mask))))
+                ok = bool(np.asarray(r.flag))
+                gi = int(np.asarray(r.goal_idx))
+                if ok:
+                    return True, gi
+            return False, gi
+
+        def fallback_scene(scene, gi0, pr=None):
+            """The production cascade policy (planner/cascade.py), staged
+            at the suite-wide padded shapes: analytic blacklist retries
+            first (the primary pass's problem is reused — no re-staging,
+            no goal-set rebuild, no grid), then the exact grid + its own
+            retries."""
+            t0 = time.time()
+            if pr is None:
+                scene.cfg = cfg
+                scene._sync_env_cfg()
+                scene._staged = None
+                scene.env._scene_sdf = None
+                pr = pad_objects(scene.build_problem(), max_obj)
+            ok, gi = _retry_loop(pr, cfg, gi0)
+            if ok:
+                return True, time.time() - t0
+            scene.cfg = cfg_x
+            scene._sync_env_cfg()
+            scene.env._scene_sdf = stage_scene_sdfs(
+                [o.sdf for o in scene.env.objects],
+                baked=cfg_x.sdf_baked, pad_to=pad_to)
+            scene._staged = None
+            pr = pad_objects(scene.build_problem(), max_obj)
+            jax.block_until_ready(pr)
+            r = plan_one(model, cfg_x.jit_key(), pr)
+            jax.block_until_ready(r.traj)
+            if bool(np.asarray(r.flag)):
+                return True, time.time() - t0
+            ok, _ = _retry_loop(pr, cfg_x, int(np.asarray(r.goal_idx)))
+            return ok, time.time() - t0
+
         for k, scene in enumerate(scenes):
             if casc_flags[k]:
                 continue
-
-            def fallback():
-                t0 = time.time()
-                scene.cfg = cfg_x
-                scene._sync_env_cfg()
-                scene.env._scene_sdf = stage_scene_sdfs(
-                    [o.sdf for o in scene.env.objects],
-                    baked=cfg_x.sdf_baked, pad_to=pad_to)
-                scene._staged = None
-                pr = pad_objects(scene.build_problem(), max_obj)
-                jax.block_until_ready(pr)
-                r = plan_one(model, cfg_x.jit_key(), pr)
-                jax.block_until_ready(r.traj)
-                return bool(np.asarray(r.flag)), time.time() - t0
-
             try:
-                ok, dt = retry_transient(fallback, f"cascade scene {k}")
+                ok, dt = retry_transient(
+                    lambda: fallback_scene(scene, goal_idxs[k],
+                                           failed_problems.get(k)),
+                    f"cascade scene {k}")
             finally:
                 scene.cfg = cfg
                 scene.env._scene_sdf = None
             extra_walls.append(dt)
             casc_flags[k] = ok
         casc_rate = float(np.mean(casc_flags))
-        # drop the one-off compile from the first fallback's wall
+        # drop the one-off compile from the first fallback's wall; with a
+        # single fallback there is no warm sample to substitute, so rerun
+        # it warm instead of letting the compile pollute the metric
+        # (ADVICE r2 item 1)
         if len(extra_walls) > 1:
             extra_walls[extra_walls.index(max(extra_walls))] = float(
                 np.median(extra_walls))
+        elif len(extra_walls) == 1:
+            k_fb = next(i for i, f in enumerate(flags) if not f)
+            try:
+                _, dt_fb = retry_transient(
+                    lambda: fallback_scene(scenes[k_fb], goal_idxs[k_fb]),
+                    "cascade warm rerun")
+            finally:
+                scenes[k_fb].cfg = cfg
+                scenes[k_fb].env._scene_sdf = None
+            extra_walls[0] = dt_fb
+        # same basis as the serial-e2e metric: warm build + plan walls
+        # (build_walls[0] carries the goal-set cold compile; substitute
+        # the warm median exactly like warm_build_s does — ADVICE r2 #1)
+        warm_builds = ([float(np.median(build_walls[1:]))]
+                       + list(build_walls[1:])
+                       if len(build_walls) > 1 else list(build_walls))
         casc_e2e = len(scenes) / (
-            float(np.sum(build_walls) + np.sum(early_walls))
+            float(np.sum(warm_builds) + np.sum(early_walls))
             + float(np.sum(extra_walls)))
         log(f"[bench] cascade: {casc_rate:.2f} success, "
             f"{casc_e2e:.3f} plans/s e2e")
@@ -252,7 +323,11 @@ def main():
     early_rate = len(early_walls) / float(np.sum(early_walls))
     p50_ms = 1000.0 * float(np.median(early_walls))
     mean_plan_s = float(np.mean(early_walls))
-    e2e_rate = 1.0 / (warm_build_s + mean_plan_s)
+    # serial request latency rate: what ONE fresh-scene request costs
+    serial_e2e = 1.0 / (warm_build_s + mean_plan_s)
+    # suite e2e: the production pipelined path (falls back to the serial
+    # number when the pipelined pass is skipped)
+    e2e_rate = pipe_rate if pipe_rate else serial_e2e
     full_rate = (len(full_walls) / float(np.sum(full_walls))
                  if full_walls else None)
 
@@ -268,6 +343,7 @@ def main():
         "full_budget_plans_per_s": (round(full_rate, 3)
                                     if full_rate else None),
         "end_to_end_plans_per_s": round(e2e_rate, 3),
+        "serial_e2e_plans_per_s": round(serial_e2e, 3),
         "pipelined_plans_per_s": (round(pipe_rate, 3)
                                   if pipe_rate else None),
         "p50_plan_latency_ms": round(p50_ms, 2),

@@ -131,6 +131,15 @@ class OMGConfig:
     # (0 = all of collision_point_num, the reference behavior); lower values
     # trade scoring resolution for gather bandwidth
     learner_collision_points: int = 0
+    # restrict the per-step candidate sweep to the K best-ranked lanes
+    # (0 = sweep all, the reference behavior): the sweep's cost scales
+    # with the static lane count, and the init sweep already ranks all
+    # lanes; inactive lanes keep their last observed raw potential.
+    # See ops/learner.py::update_goal (ROADMAP item 2).
+    learner_active_goals: int = 0
+    # with learner_active_goals: re-run a FULL sweep (and re-pick the
+    # active lanes) every r-th learner step; 0 = init ranking only
+    learner_refresh_every: int = 0
     # run the learner's candidate sweep only every k-th optimization step
     # (1 = every step, the reference behavior, omg/planner.py:614-618).
     # On the analytic backend the sweep is ~80% of a plan step (DESIGN
@@ -138,6 +147,11 @@ class OMGConfig:
     # between adjacent steps; k>1 skips the sweep (a real lax.cond, so
     # skipped steps pay nothing) and holds the previous goal.
     learner_sweep_every: int = 1
+    # honor PlanProblem.traj_init as the optimization's starting trajectory
+    # even when the learner is enabled (skip the learner-init respline,
+    # online_learner.py:94-102) — set automatically by
+    # PlanningScene.step(traj_init=...); separate compiled program.
+    warm_start_init: bool = False
     # reproduce the reference's top-k branch quirks bit-for-bit (duplicate
     # fancy-index writes dropped -> one gradient point per (timestep, link);
     # per-link cost scalar broadcast over timesteps) — parity runs only.

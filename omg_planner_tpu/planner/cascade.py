@@ -57,19 +57,46 @@ def _fail_rank(res) -> tuple:
             float(np.asarray(info.cost)))
 
 
+#: joint-space L2 radius (arm joints) around a failed goal inside which
+#: goals are blacklisted before a retry — the reference's own goal-set
+#: dedupe diversity radius (``omg/planner.py:545-560``), so one retry
+#: skips a failed goal AND its near-duplicates (wrist twins fail the same
+#: way).
+BLACKLIST_RADIUS = 0.5
+
+
+def goal_blacklist(goal_set, mask: np.ndarray, goal_idx: int,
+                   radius: float = BLACKLIST_RADIUS) -> np.ndarray:
+    """Clear ``mask`` entries within ``radius`` (arm-joint L2) of the
+    failed goal.  Returns the new mask (all-False when nothing is left)."""
+    grasps = np.asarray(goal_set.grasps)
+    failed = grasps[int(goal_idx)]
+    d = np.linalg.norm(grasps[:, :7] - failed[None, :7], axis=-1)
+    return mask & ~(d < radius)
+
+
 def plan_cascade(scene: PlanningScene,
                  backends: Sequence[str] = ("analytic", "exact"),
                  fast: bool = True,
-                 warm_start: bool = True) -> CascadeResult | None:
-    """Plan ``scene`` escalating through ``backends`` until one verdict is
-    SUCCESS; on total failure return the least-bad attempt by
-    :func:`_fail_rank`.
+                 goal_retries: int = 3) -> CascadeResult | None:
+    """Plan ``scene`` escalating until one verdict is SUCCESS; on total
+    failure return the least-bad attempt by :func:`_fail_rank`.
 
-    ``warm_start`` resumes each fallback from the previous attempt's final
-    trajectory (``scene.step(traj_init=...)``) instead of re-solving from
-    the spline init — the cheap backend's FAIL is usually *almost* valid
-    (rounded-corner clearance or residual smoothing), so the exact grid
-    finishes in a fraction of the optimization steps.
+    Per backend: one plan from the full goal set, then up to
+    ``goal_retries`` **goal-blacklist retries** — each FAIL's converged
+    goal (plus its near-duplicates, radius 0.5 rad) is masked out and the
+    same staged problem re-planned.  A retry is a pure data change (same
+    compiled program, no re-staging) and usually terminates in 2-3 steps
+    once the learner is steered off the blocked goal.  Measured on the
+    hard suite (docs/diag_fails_r03.json): analytic-FAILs are dominated by
+    a bad goal choice, not backend error — blacklist retries on the
+    ANALYTIC backend alone recover 8 of the 9 exact-unrecoverable
+    screened-ok failures.
+
+    Warm-starting the fallback from the failed trajectory
+    (``scene.step(traj_init=...)``) was measured and rejected: recovery
+    sets and step counts were identical to cold re-plans (the failed
+    trajectory is the local minimum being escaped, not progress to keep).
 
     Backend switches go through ``scene.cfg`` exactly like the task
     layer's explicit config overrides (``planner/tasks.py``): the staged
@@ -77,15 +104,14 @@ def plan_cascade(scene: PlanningScene,
     once (a backend whose fields already match the session cfg re-stages
     nothing), and the session cfg is restored afterwards.  Returns
     ``None`` only if every backend refused to plan (empty goal set — the
-    IK-FAIL refusal path).  ``attempts`` counts backends that produced a
-    plan; an IK-FAIL refusal skips to the next backend WITHOUT counting —
-    the ``continue`` (not ``break``) matters because goal-set validity is
+    IK-FAIL refusal path).  ``attempts`` counts plans that actually ran;
+    an IK-FAIL refusal skips to the next backend WITHOUT counting — the
+    ``continue`` (not ``break``) matters because goal-set validity is
     collision-filtered against each backend's own SDF, so a stricter
     backend can still find valid goals."""
     base_cfg: OMGConfig = scene.cfg
     best = None
     attempts = 0
-    warm = None
     try:
         for name in backends:
             over = BACKENDS[name]
@@ -93,16 +119,27 @@ def plan_cascade(scene: PlanningScene,
                 scene.cfg = base_cfg.replace(**over)
             else:
                 scene.cfg = base_cfg
-            res = scene.step(fast=fast, traj_init=warm)
+            res = scene.step(fast=fast)
             if res is None:  # IK FAIL on this backend's goal filtering
                 continue
             attempts += 1
             if bool(np.asarray(res.flag)):
                 return CascadeResult(res, name, attempts, True)
-            if warm_start:
-                warm = np.asarray(res.traj)
             if best is None or _fail_rank(res) < _fail_rank(best[0]):
                 best = (res, name)
+            mask = np.asarray(scene.goal_set.mask).copy()
+            for _ in range(goal_retries):
+                mask = goal_blacklist(scene.goal_set, mask, res.goal_idx)
+                if not mask.any():
+                    break
+                res = scene.step(fast=fast, goal_mask=mask)
+                if res is None:
+                    break
+                attempts += 1
+                if bool(np.asarray(res.flag)):
+                    return CascadeResult(res, name, attempts, True)
+                if _fail_rank(res) < _fail_rank(best[0]):
+                    best = (res, name)
     finally:
         scene.cfg = base_cfg
         scene._sync_env_cfg()

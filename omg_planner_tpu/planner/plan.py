@@ -185,15 +185,35 @@ def _learner_init(model, cfg, hp, problem: PlanProblem, cv_fn):
     online_learner.py:94-102); shared by both loop variants."""
     goal_idx0 = _init_goal_idx(cfg, problem)
     traj0 = problem.traj_init
-    learner0 = ol.init_learner_state(problem.goal_set)
+    restrict = (cfg.learner_active_goals and cv_fn is None
+                and cfg.learner_active_goals < problem.goal_set.capacity)
+    learner0 = ol.init_learner_state(
+        problem.goal_set, cfg.learner_active_goals if restrict else 0)
     if _learner_enabled(cfg):
-        cv0 = (cv_fn(traj0, jnp.asarray(0.0)) if cv_fn is not None else
-               ol.cost_vector(model, problem.scene, problem.cost_params, cfg,
-                              hp, traj0, problem.goal_set, jnp.asarray(0.0),
-                              problem.world_potential))
+        if cv_fn is not None:
+            cv0 = cv_fn(traj0, jnp.asarray(0.0))
+        else:
+            raw0 = ol.cost_vector_raw(
+                model, problem.scene, problem.cost_params, cfg, hp, traj0,
+                problem.goal_set, jnp.asarray(0.0),
+                problem.world_potential)
+            cv0 = ol.finalize_cost_vector(cfg, raw0, problem.goal_set.mask)
+            if restrict:
+                k = min(cfg.learner_active_goals,
+                        problem.goal_set.capacity)
+                learner0 = learner0._replace(
+                    last_raw=raw0,
+                    active_idx=jax.lax.top_k(-cv0, k)[1].astype(jnp.int32))
         goal_idx0 = jnp.argmin(cv0).astype(jnp.int32)
-        traj0 = cubic_interpolate(
-            problem.start, problem.goal_set.grasps[goal_idx0], cfg.timesteps)
+        if not cfg.warm_start_init:
+            traj0 = cubic_interpolate(
+                problem.start, problem.goal_set.grasps[goal_idx0],
+                cfg.timesteps)
+        # warm_start_init: keep problem.traj_init (a previous attempt's
+        # trajectory); the goal-set projection pulls its endpoint toward
+        # the learner's pick exactly as on later goal switches
+        # (update_goal rewires traj.end without resplining,
+        # online_learner.py:237-249)
     return traj0, goal_idx0, learner0
 
 

@@ -578,28 +578,44 @@ class PlanningScene:
         return _plan_fn(self.cfg.jit_key(), fast)
 
     def step(self, fast: bool = False,
-             traj_init: np.ndarray | None = None) -> plan_mod.PlanResult:
+             traj_init: np.ndarray | None = None,
+             goal_mask: np.ndarray | None = None) -> plan_mod.PlanResult:
         """One full plan (reference ``PlanningScene.step``,
         ``omg/core.py:694-699``).
 
         ``traj_init`` warm-starts the optimization from a given [T, 9]
-        trajectory instead of the start->goal spline — the escalation
-        cascade resumes a FAILed cheap-backend attempt on the exact grid
-        (planner/cascade.py) rather than re-solving from scratch.  Same
-        shapes, so no recompilation."""
+        trajectory instead of the start->goal spline (sets
+        ``cfg.warm_start_init`` so the learner-init respline is skipped —
+        without that the init is discarded, measured in
+        ``docs/diag_fails_r03.json``).
+
+        ``goal_mask`` overrides the goal set's validity mask — the
+        cascade's goal-blacklist retries exclude a failed attempt's goal
+        neighborhood and re-plan (pure data change: same staged problem,
+        same compiled program)."""
         problem = self.build_problem()
+        # read cfg AFTER build_problem: dynamic_timestep re-derives the
+        # horizon there and replaces self.cfg (core.py:64-75)
+        cfg = self.cfg
+        if traj_init is not None and not cfg.warm_start_init:
+            cfg = cfg.replace(warm_start_init=True)
         if traj_init is not None:
             ti = jnp.asarray(traj_init, jnp.float32)
             problem = problem._replace(traj_init=ti, end=ti[-1])
         n_valid = self._n_valid_goals
-        if self.cfg.goal_set_proj and n_valid == 0:
-            if not self.cfg.silent:
+        if goal_mask is not None:
+            gm = np.asarray(goal_mask, bool)
+            problem = problem._replace(goal_set=problem.goal_set._replace(
+                mask=jnp.asarray(gm)))
+            n_valid = int(gm.sum())
+        if cfg.goal_set_proj and n_valid == 0:
+            if not cfg.silent:
                 print("planning not run... (empty goal set)")
             return None
-        if self.cfg.report_time:
+        if cfg.report_time:
             print(f"goal set num: {n_valid}")
         t0 = time.time()
-        result = self._get_plan_fn(fast)(self.model, problem)
+        result = _plan_fn(cfg.jit_key(), fast)(self.model, problem)
         result = jax.tree.map(lambda x: np.asarray(x), result)
         if not self.cfg.silent:
             verdict = ("SUCCESS BE GENTLE" if bool(result.flag)

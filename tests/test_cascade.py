@@ -30,7 +30,8 @@ def test_cascade_escalates_and_returns_least_bad():
     out = plan_cascade(scene, backends=("analytic", "exact"))
     assert out is not None
     assert not out.success
-    assert out.attempts == 2
+    # one primary + up to goal_retries blacklist retries per backend
+    assert 2 <= out.attempts <= 2 * (1 + 3)
     assert out.backend in BACKENDS
     assert scene.cfg == cfg
     # a real trajectory came back (finite, fingers clamped)
