@@ -93,6 +93,38 @@ def test_place_target_pipeline():
     assert achieved.shape == (4, 4)
 
 
+def test_place_target_rollback_on_failure():
+    """A placement with NO reachable IK must roll the scene back
+    (reference failure path, ``real_world/trial.py:123-131``;
+    VERDICT r2 item 7)."""
+    cfg = OMGConfig(optim_steps=4, extra_smooth_steps=2, goal_set_max_num=4,
+                    ik_seed_num=2, ik_max_iters=25, learner_interp_steps=6,
+                    silent=True)
+    scene = PlanningScene.synthetic(cfg, scene_id=0, n_obstacles=0)
+    grasp_conf = np.array([0.0, -0.8, 0.0, -2.0, 0.0, 1.6, 0.785, 0.04, 0.04])
+    target = scene.env.target
+    old_pose = target.pose_mat.copy()
+    base_points = scene.model.collision_points
+    # 2 m away: outside the Panda workspace, every placement IK fails
+    place = target.pose_mat.copy()
+    place[:3, 3] = [2.0, 0.0, 0.1]
+    res, achieved = tasks.place_target(scene, grasp_conf, place)
+    assert res is None                       # the IK-FAIL refusal path
+    # full rollback: pose restored, detached, cfg + hand points restored
+    np.testing.assert_allclose(achieved, old_pose)
+    np.testing.assert_allclose(scene.env.target.pose_mat, old_pose)
+    assert not scene.env.target.attached
+    assert scene.env.target.rel_hand_pose is None
+    assert target.name not in scene.cfg.disable_collision_set
+    assert not scene.cfg.use_standoff or cfg.use_standoff
+    assert scene.model.collision_points is base_points
+    # the session still plans after the rollback
+    scene.start = np.asarray(
+        [0.0, -1.285, 0, -2.356, 0.0, 1.571, 0.785, 0.04, 0.04])
+    res2 = scene.step(fast=True)
+    assert res2 is not None
+
+
 def test_render_frame():
     pytest.importorskip("matplotlib")
     from omg_planner_tpu.models import panda
