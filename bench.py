@@ -75,10 +75,12 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the ambient environment "
                          "pins the axon TPU regardless of JAX_PLATFORMS)")
-    ap.add_argument("--active-goals", type=int, default=0,
-                    help="cfg.learner_active_goals A/B knob")
-    ap.add_argument("--refresh-every", type=int, default=0,
-                    help="cfg.learner_refresh_every A/B knob")
+    ap.add_argument("--active-goals", type=int, default=None,
+                    help="cfg.learner_active_goals A/B knob "
+                         "(default: config default)")
+    ap.add_argument("--refresh-every", type=int, default=None,
+                    help="cfg.learner_refresh_every A/B knob "
+                         "(default: config default)")
     args, _ = ap.parse_known_args()
 
     import jax
@@ -92,10 +94,13 @@ def main():
     from omg_planner_tpu.planner.scene import PlanningScene
 
     # standard reference budget: T=30, 50+20 steps, <=100 goals
+    over = {}
+    if args.active_goals is not None:
+        over["learner_active_goals"] = args.active_goals
+    if args.refresh_every is not None:
+        over["learner_refresh_every"] = args.refresh_every
     cfg = OMGConfig(silent=True, sdf_fused=args.backend == "fused",
-                    sdf_analytic=args.backend == "analytic",
-                    learner_active_goals=args.active_goals,
-                    learner_refresh_every=args.refresh_every)
+                    sdf_analytic=args.backend == "analytic", **over)
     cfg_full = cfg.replace(pre_terminate=False)
     model = panda.load_panda(collision_point_num=cfg.collision_point_num)
     plan_one = jax.jit(plan_fast, static_argnums=(1,))

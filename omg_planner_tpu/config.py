@@ -135,11 +135,15 @@ class OMGConfig:
     # (0 = sweep all, the reference behavior): the sweep's cost scales
     # with the static lane count, and the init sweep already ranks all
     # lanes; inactive lanes keep their last observed raw potential.
+    # Default 32 after a measured suite A/B (DESIGN §3c): full-budget
+    # 15.0 -> 17.7-19.7 plans/s on the v5e at -1 pt primary success (the
+    # cascade's goal-blacklist retries recover it; cascade success stays
+    # 0.95).  No-op when the goal capacity is <= K (small configs).
     # See ops/learner.py::update_goal (ROADMAP item 2).
-    learner_active_goals: int = 0
+    learner_active_goals: int = 32
     # with learner_active_goals: re-run a FULL sweep (and re-pick the
     # active lanes) every r-th learner step; 0 = init ranking only
-    learner_refresh_every: int = 0
+    learner_refresh_every: int = 10
     # run the learner's candidate sweep only every k-th optimization step
     # (1 = every step, the reference behavior, omg/planner.py:614-618).
     # On the analytic backend the sweep is ~80% of a plan step (DESIGN

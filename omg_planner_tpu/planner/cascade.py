@@ -10,14 +10,18 @@ production policy is an escalation cascade: plan with the analytic
 backend, and only when the verdict is FAIL re-stage the scene on the
 exact grid backend and plan again.
 
-Measured on the 100-scene hard suite (v5e, round 2,
-``docs/bench_r02_analytic.json``): analytic-only 0.70 success at 7.0
-plans/s end-to-end; the cascade reaches **0.80** — above the exact
-backend's own 0.79 — at 1.8 plans/s e2e (vs exact-alone's 1.11) because
-only the ~30% FAIL verdicts pay the grid fallback.  Goal-set re-sampling retries
-do NOT help: with fewer valid goals than ``goal_set_max_num`` the
+Measured on the 100-scene hard suite (v5e): analytic-only 0.70 success;
+round 2's backend-only cascade reached 0.80 at 1.9 plans/s e2e.  Round 3
+added **goal-blacklist retries** (mask the failed goal's neighborhood,
+re-plan the same staged problem) after diagnosing the FAIL population
+(``docs/diag_fails_r03.json``): most failures are a bad goal CHOICE, not
+backend error — the cascade now reaches **0.95** (above the suite's own
+0.85 generation screen) at 2.3-2.5 plans/s e2e.  Goal-set re-SAMPLING
+retries do NOT help: with fewer valid goals than ``goal_set_max_num`` the
 Gumbel-top-k sample is the identity, so a re-keyed rebuild replans the
 identical problem (measured: 0 of 30 failures recovered over 3 retries).
+Blacklisting is different — it removes the attractor the learner keeps
+converging to, and the retry usually pre-terminates in 2-3 steps.
 
 The reference has no counterpart — it plans once per scene with its one
 CUDA backend (``omg/core.py:869-885``).

@@ -216,16 +216,31 @@ def build_goal_set(
     if cfg.increment_iks:
         # second pass reseeded from found solutions (reference
         # ``increment_iks``, ``omg/planner.py:436-441``): sample up to 10
-        # successful standoff configs as extra anchor seeds and re-solve
+        # successful standoff configs as extra anchor seeds and re-solve.
+        # Gated on first-pass yield (VERDICT r2 item 8): when the first
+        # sweep already fills the goal cap, the lax.cond skips the whole
+        # second chain solve (the dominant goal-set-build subprogram) —
+        # reseeding exists to rescue LOW yields (planner.py:436-441).
         key, sub = jax.random.split(key)
         gumbel = jax.random.gumbel(sub, valid.shape)
         scores = jnp.where(valid, gumbel, -jnp.inf)
         top = jax.lax.top_k(scores, 10)
         extra = jnp.where(jnp.isfinite(top[0])[:, None],
                           take_rows(standoff, top[1])[:, :7], seeds[0][None])
-        reach2, standoff2, valid2, _ = solve(
-            model, cfg, grasp_poses_world, extra, lo[:7], hi[:7], attached,
-            grasp_valid=grasp_valid)
+
+        def second(_):
+            r2, s2, v2, _n = solve(
+                model, cfg, grasp_poses_world, extra, lo[:7], hi[:7],
+                attached, grasp_valid=grasp_valid)
+            return r2, s2, v2
+
+        def skip(_):
+            shapes = jax.eval_shape(second, None)
+            return jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        need = valid.sum() < cfg.goal_set_max_num
+        reach2, standoff2, valid2 = jax.lax.cond(need, second, skip, None)
         reach = jnp.concatenate([reach, reach2])
         standoff = jnp.concatenate([standoff, standoff2])
         valid = jnp.concatenate([valid, valid2])

@@ -76,6 +76,7 @@ def _ours_cfg():
         learner_world_potential=False,
         use_standoff=False,           # scene-goal mode (planner.py:161-162)
         ref_topk_quirks=True,         # reference top-k accumulation quirks
+        learner_active_goals=0,       # reference sweeps ALL candidates
     )
 
 
