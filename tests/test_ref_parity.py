@@ -96,6 +96,48 @@ def test_reference_runs_and_trajectories_match(parity_ws):
         assert np.abs(np.asarray(res.traj) - ref_traj).max() < 0.05
 
 
+@pytest.mark.parametrize("alg", ["FTL", "FTC", "Proj"])
+def test_learner_algorithms_match_reference(parity_ws, alg):
+    """The non-default online-learner algorithms agree with the actual
+    reference end-to-end too (MD is covered by the main parity test;
+    Exp's soft reset is covered at unit level in test_learner.py).
+    Proj exercises the no-learner branch: the goal stays the
+    closest-by-projection pick (``omg/planner.py:221-222``)."""
+    root, mat, cfg, model = parity_ws
+    name = os.path.splitext(os.path.basename(mat))[0]
+
+    from omg_planner_tpu.io import ref_shims
+
+    ref_shims.install(REFERENCE)
+    ref_shims.configure_reference(root, scene_file=name, silent=True,
+                                  ol_alg=alg)
+    from omg.core import PlanningScene as RefScene
+    from omg import config as ref_config
+
+    scene = RefScene(ref_config.cfg)
+    scene.reset()
+    info = scene.step()
+    ref_traj = np.asarray(scene.planner.history_trajectories[-1])
+    ref_flag = bool(info[-1]["terminate"])
+    ref_config.cfg.ol_alg = "MD"  # restore for other tests
+
+    from omg_planner_tpu.io.reference_data import env_from_mat_scene
+    from omg_planner_tpu.io.scene_io import load_mat_scene
+    from omg_planner_tpu.planner.scene import PlanningScene
+
+    sd = load_mat_scene(mat)
+    cfg2 = cfg.replace(ol_alg=alg)
+    env, _ = env_from_mat_scene(cfg2, mat, root, model=model,
+                                penalize=False)
+    ps = PlanningScene(cfg2, env)
+    ps.set_precomputed_goals(sd["goals"], sd.get("reach_grasps"))
+    res = ps.step(fast=False)
+    assert res is not None
+    assert bool(res.flag) == ref_flag
+    if ref_flag and np.asarray(res.traj).shape == ref_traj.shape:
+        assert np.abs(np.asarray(res.traj) - ref_traj).max() < 0.05
+
+
 def test_sdf_kernel_shim_matches_our_query(parity_ws):
     """The numpy CUDA-kernel port and our exact grid query agree on the
     same stacked scene (both reimplement kernel.cu:96-195)."""
