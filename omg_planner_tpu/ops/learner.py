@@ -91,7 +91,7 @@ def find_zero(f, x0, x1, iters: int = 30):
 
 
 def bregman_projection(x, v, delta, w, mask, max_iters: int = 20,
-                       tol: float = 1e-6):
+                       tol: float = 1e-6, uniform_w: bool = True):
     """Weighted/shifted-entropy Bregman projection onto the simplex
     (reference ``bp``, ``online_learner.py:32-58``), masked to valid goals.
 
@@ -99,6 +99,16 @@ def bregman_projection(x, v, delta, w, mask, max_iters: int = 20,
     reference (``:52-54``) — typically 1-2 iterations — via
     ``lax.while_loop`` (this sits inside the sequential per-step learner
     update, so saved iterations are saved wall-clock).
+
+    ``uniform_w``: the MD learner always calls with ``w = 1`` (ours AND
+    the reference's, ``online_learner.py:229``), which makes the inner
+    root-solve closed-form — ``f(el) = e^el * S - target`` with
+    ``S = sum shiftx e^z``, so ``el = log target - logsumexp(log shiftx
+    + z)`` — replacing the reference's 30-iteration sign bisection (a
+    pure sequential-latency chain on TPU; 0.16 ms of a 0.45 ms step).
+    Agreement with the bisection is at f32 resolution (the bisection's
+    own terminal precision).  ``uniform_w=False`` keeps the bisection
+    for general weights.
     """
     m = mask.astype(x.dtype)
     target = 1.0 + jnp.sum(delta * m)
@@ -107,6 +117,15 @@ def bregman_projection(x, v, delta, w, mask, max_iters: int = 20,
 
     def solve_el(alpha):
         z = (alpha - v) / w
+        if uniform_w:
+            logs = jnp.where(m > 0,
+                             jnp.log(jnp.maximum(shiftx, 1e-30)) + z,
+                             -jnp.inf)
+            s = jax.scipy.special.logsumexp(logs)
+            # clip to the bisection's bracket: when the root lies outside
+            # [0, upper] the reference's sign-bisection converges to the
+            # bracket boundary, and that clamped value IS its semantics
+            return jnp.clip(jnp.log(target) - s, 0.0, upper)
 
         def f(el):
             return jnp.sum(
@@ -360,7 +379,10 @@ def update_goal(
     state = state._replace(t=t)
     restrict = (cfg.learner_active_goals and cv_fn is None
                 and cfg.ol_alg != "Proj"
-                and cfg.learner_active_goals < goal_set.capacity)
+                and cfg.learner_active_goals < goal_set.capacity
+                # a state built without active lanes (direct
+                # init_learner_state callers) falls back to the full sweep
+                and state.active_idx.shape[0] > 0)
     if cfg.ol_alg == "Proj":
         state = update_goal_dist(cfg, state, jnp.zeros(goal_set.capacity),
                                  goal_set, traj[-1])

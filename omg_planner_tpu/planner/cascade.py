@@ -37,6 +37,14 @@ from ..config import OMGConfig
 from .scene import PlanningScene
 
 
+class SuiteCascadeOut(NamedTuple):
+    flag: bool
+    backend: str
+    attempts: int
+    traj: np.ndarray
+    goal_idx: int
+
+
 #: cfg field overrides selecting each collision backend, cheapest first.
 BACKENDS: dict[str, dict] = {
     "analytic": {"sdf_analytic": True, "sdf_fused": False},
@@ -150,3 +158,140 @@ def plan_cascade(scene: PlanningScene,
     if best is None:
         return None
     return CascadeResult(best[0], best[1], attempts, False)
+
+
+def plan_cascade_suite(scenes, base_cfg: OMGConfig,
+                       backends: Sequence[str] = ("analytic", "exact"),
+                       goal_retries: int = 3, chunk: int = 8,
+                       model=None, pad_to=None, max_obj: int | None = None,
+                       log=None):
+    """Wave-pipelined cascade over many scenes (the suite/production form
+    of :func:`plan_cascade`).
+
+    Per backend, scenes are processed in chunks: every pending scene's
+    staging + plan is dispatched asynchronously (problems stay alive
+    across retries — a blacklist retry is a mask swap on the cached
+    problem, no re-staging, no goal-set rebuild), then retry WAVES run:
+    wave k re-plans every still-failing scene's k-th blacklist retry
+    concurrently.  Device work for different scenes overlaps exactly like
+    ``plan_pipelined``; the serial per-scene fallback (round-2 bench) paid
+    staging + sync per attempt instead.
+
+    ``chunk`` bounds device memory to O(chunk) staged problems (grid
+    backends hold the padded SDF stacks of every in-flight scene).
+
+    Returns {sid: SuiteCascadeOut}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import panda
+    from ..ops.sdf import AnalyticScene, stage_scene_sdfs
+    from ..parallel.batch import pad_objects
+    from .runner import _plan_one
+
+    scenes = list(scenes)
+    if model is None:
+        model = panda.load_panda(
+            collision_point_num=base_cfg.collision_point_num)
+    if max_obj is None:
+        max_obj = max(len(s.env.objects) for _, s in scenes)
+    if pad_to is None:
+        shapes = np.array([o.sdf.shape for _, s in scenes
+                           for o in s.env.objects])
+        pad_to = tuple(shapes.max(axis=0)) if len(shapes) else None
+    plan_one = _plan_one()
+
+    import time as _time
+
+    results: dict = {}
+    attempts: dict = {sid: 0 for sid, _ in scenes}
+    pending = scenes
+    try:
+        for name in backends:
+            _t_backend = _time.time()
+            over = BACKENDS[name]
+            if any(getattr(base_cfg, k) != v for k, v in over.items()):
+                cfg_b = base_cfg.replace(**over)
+            else:
+                cfg_b = base_cfg
+            still_failing = []
+            for lo in range(0, len(pending), chunk):
+                batch = pending[lo:lo + chunk]
+                probs, handles = [], []
+                for sid, sc in batch:
+                    sc.cfg = cfg_b
+                    sc._sync_env_cfg()
+                    sc._staged = None
+                    sc.env._scene_sdf = None
+                    if not isinstance(sc.env.scene_sdf(), AnalyticScene):
+                        sc.env._scene_sdf = stage_scene_sdfs(
+                            [o.sdf for o in sc.env.objects],
+                            baked=cfg_b.sdf_baked, pad_to=pad_to)
+                    pr = pad_objects(
+                        sc.build_problem(assume_goals=True), max_obj)
+                    probs.append(pr)
+                    handles.append(plan_one(model, cfg_b.jit_key(), pr))
+                    attempts[sid] += 1
+                masks = [None] * len(batch)
+                live = list(range(len(batch)))
+                for wave in range(goal_retries + 1):
+                    fetched = jax.device_get([handles[i] for i in live])
+                    redispatch = []
+                    for i, res in zip(live, fetched):
+                        sid, sc = batch[i]
+                        gi = int(res.goal_idx)
+                        out = SuiteCascadeOut(
+                            flag=bool(res.flag), backend=name,
+                            attempts=attempts[sid],
+                            traj=np.asarray(res.traj), goal_idx=gi)
+                        if out.flag:
+                            results[sid] = out
+                            continue
+                        # keep the latest failed attempt as the fallback
+                        # result (recency is a fine tie-break here)
+                        if sid not in results or not results[sid].flag:
+                            results[sid] = out
+                        if wave == goal_retries:
+                            redispatch.append((i, None))
+                            continue
+                        if masks[i] is None:
+                            masks[i] = np.asarray(
+                                probs[i].goal_set.mask).copy()
+                        masks[i] = goal_blacklist(
+                            probs[i].goal_set, masks[i], gi)
+                        if not masks[i].any():
+                            redispatch.append((i, None))
+                            continue
+                        redispatch.append((i, masks[i]))
+                    live = []
+                    for i, mask in redispatch:
+                        sid, sc = batch[i]
+                        if mask is None:
+                            still_failing.append((sid, sc))
+                            continue
+                        gs_ = probs[i].goal_set
+                        pr2 = probs[i]._replace(
+                            goal_set=gs_._replace(mask=jnp.asarray(mask)))
+                        handles[i] = plan_one(model, cfg_b.jit_key(), pr2)
+                        attempts[sid] += 1
+                        live.append(i)
+                    if not live:
+                        break
+                # (the wave loop always drains: the final wave routes every
+                # failure to still_failing, so nothing stays in flight)
+                for sid, sc in batch:
+                    sc.env._scene_sdf = None
+            if log is not None:
+                log(f"[cascade] backend={name}: {len(pending)} in, "
+                    f"{len(still_failing)} still failing, "
+                    f"{_time.time() - _t_backend:.1f}s")
+            pending = still_failing
+            if not pending:
+                break
+    finally:
+        for sid, sc in scenes:
+            sc.cfg = base_cfg
+            sc._sync_env_cfg()
+            sc.env._scene_sdf = None
+    return results

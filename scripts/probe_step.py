@@ -49,7 +49,8 @@ def loop(body):
 
 # 1. full step (learner + optimize)
 def full_body(i, traj):
-    lstate = ol.init_learner_state(problem.goal_set)
+    lstate = ol.init_learner_state(problem.goal_set,
+                                   cfg.learner_active_goals)
     lstate, gidx = _learner_step(model, cfg, hp, problem, traj,
                                  jnp.asarray(0, jnp.int32), lstate,
                                  jnp.asarray(0), None)

@@ -76,5 +76,23 @@ def test_serve_plan_roundtrip():
         nt["objects"][1]["target"] = False
         code4, out4 = _post("/plan", nt)
         assert code4 == 400
+
+        # pipelined batch endpoint (the plan_pipelined production path)
+        body = _scene_body()
+        b2 = _scene_body()
+        b2["objects"][1]["pose"] = np.asarray(
+            pose_at([0.5, -0.12, 0.23])).ravel().tolist()
+        code5, out5 = _post("/plan_batch",
+                            {"scenes": [body, b2], "pipeline_depth": 2})
+        assert code5 == 200, out5
+        assert len(out5["results"]) == 2
+        for r5 in out5["results"]:
+            assert "traj" in r5 and np.isfinite(
+                np.asarray(r5["traj"])).all()
+        assert out5["plans_per_s"] > 0
+
+        # batch errors surface as 400s
+        code6, out6 = _post("/plan_batch", {"scenes": []})
+        assert code6 == 400
     finally:
         srv.shutdown()
