@@ -43,34 +43,32 @@ def stack_problems(problems: Sequence[PlanProblem]) -> PlanProblem:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *problems)
 
 
-def pad_objects(problem: PlanProblem, num_objects: int) -> PlanProblem:
-    """Pad a problem's object dimension with disabled dummy objects."""
+def pad_scene(scene, num_objects: int):
+    """Pad a scene's object dimension with disabled dummy objects (grid
+    backends fill +1 volumes; analytic scenes add far tiny primitives)."""
     from ..ops.sdf import AnalyticScene, BakedSceneSDF
 
-    if isinstance(problem.scene, AnalyticScene):
-        sc = problem.scene
-        o = sc.kinds.shape[0]
+    if isinstance(scene, AnalyticScene):
+        o = scene.kinds.shape[0]
         if o == num_objects:
-            return problem
+            return scene
         extra = num_objects - o
-        scene = AnalyticScene(
+        return AnalyticScene(
             kinds=jnp.concatenate(
-                [sc.kinds, jnp.ones(extra, sc.kinds.dtype)]),
+                [scene.kinds, jnp.ones(extra, scene.kinds.dtype)]),
             halfs=jnp.concatenate(
-                [sc.halfs, jnp.full((extra, 3), 1e-3, sc.halfs.dtype)]),
+                [scene.halfs, jnp.full((extra, 3), 1e-3,
+                                       scene.halfs.dtype)]),
             penals=jnp.concatenate(
-                [sc.penals, jnp.ones(extra, sc.penals.dtype)]),
+                [scene.penals, jnp.ones(extra, scene.penals.dtype)]),
             rounds=jnp.concatenate(
-                [sc.rounds, jnp.zeros(extra, sc.rounds.dtype)]))
-        return problem._replace(
-            scene=scene, cost_params=_pad_cost_params(
-                problem.cost_params, extra))
+                [scene.rounds, jnp.zeros(extra, scene.rounds.dtype)]))
 
-    baked = isinstance(problem.scene, BakedSceneSDF)
-    vol = problem.scene.data4 if baked else problem.scene.data
+    baked = isinstance(scene, BakedSceneSDF)
+    vol = scene.data4 if baked else scene.data
     o = vol.shape[0]
     if o == num_objects:
-        return problem
+        return scene
     extra = num_objects - o
     if baked:
         fill = jnp.zeros((extra,) + vol.shape[1:]).at[..., 0].set(1.0)
@@ -78,13 +76,25 @@ def pad_objects(problem: PlanProblem, num_objects: int) -> PlanProblem:
         fill = jnp.ones((extra,) + vol.shape[1:])
     data = jnp.concatenate([vol, fill], axis=0)
     lim = jnp.concatenate(
-        [problem.scene.limits,
-         jnp.tile(problem.scene.limits[-1:], (extra, 1))], axis=0)
-    scene = (problem.scene._replace(data4=data, limits=lim) if baked
-             else problem.scene._replace(data=data, limits=lim))
+        [scene.limits, jnp.tile(scene.limits[-1:], (extra, 1))], axis=0)
+    return (scene._replace(data4=data, limits=lim) if baked
+            else scene._replace(data=data, limits=lim))
+
+
+def pad_objects(problem: PlanProblem, num_objects: int) -> PlanProblem:
+    """Pad a problem's object dimension with disabled dummy objects."""
+    from ..ops.sdf import AnalyticScene, BakedSceneSDF
+
+    scene = problem.scene
+    o = (scene.kinds.shape[0] if isinstance(scene, AnalyticScene) else
+         (scene.data4 if isinstance(scene, BakedSceneSDF)
+          else scene.data).shape[0])
+    if o == num_objects:
+        return problem
     return problem._replace(
-        scene=scene,
-        cost_params=_pad_cost_params(problem.cost_params, extra))
+        scene=pad_scene(scene, num_objects),
+        cost_params=_pad_cost_params(problem.cost_params,
+                                     num_objects - o))
 
 
 def _pad_cost_params(cp, extra: int):

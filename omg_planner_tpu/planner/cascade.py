@@ -206,9 +206,10 @@ def plan_cascade_suite(scenes, base_cfg: OMGConfig,
 
     results: dict = {}
     attempts: dict = {sid: 0 for sid, _ in scenes}
+    cached_problems: dict = {}
     pending = scenes
     try:
-        for name in backends:
+        for bi, name in enumerate(backends):
             _t_backend = _time.time()
             over = BACKENDS[name]
             if any(getattr(base_cfg, k) != v for k, v in over.items()):
@@ -228,8 +229,23 @@ def plan_cascade_suite(scenes, base_cfg: OMGConfig,
                         sc.env._scene_sdf = stage_scene_sdfs(
                             [o.sdf for o in sc.env.objects],
                             baked=cfg_b.sdf_baked, pad_to=pad_to)
-                    pr = pad_objects(
-                        sc.build_problem(assume_goals=True), max_obj)
+                    if bi > 0 and sid in cached_problems:
+                        # fallback backends REUSE the first backend's goal
+                        # set (IK is backend-independent; only the
+                        # collision prune differs, and the plan re-checks
+                        # collision every step + blacklist retries catch
+                        # bad picks) — swapping the staged scene + learner
+                        # field skips the whole goal-set IK rebuild, the
+                        # dominant fallback cost
+                        from ..parallel.batch import pad_scene
+
+                        pr = cached_problems[sid]._replace(
+                            scene=pad_scene(sc.env.scene_sdf(), max_obj),
+                            world_potential=sc._world_potential())
+                    else:
+                        pr = pad_objects(
+                            sc.build_problem(assume_goals=True), max_obj)
+                        cached_problems[sid] = pr
                     probs.append(pr)
                     handles.append(plan_one(model, cfg_b.jit_key(), pr))
                     attempts[sid] += 1
