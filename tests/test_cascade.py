@@ -47,3 +47,38 @@ def test_cascade_exact_backend_actually_runs():
     out = plan_cascade(scene, backends=("exact",))
     assert out is not None and out.attempts == 1
     assert out.backend == "exact"
+
+
+def test_cascade_suite_wave_pipelined():
+    """plan_cascade_suite: the wave-pipelined multi-scene form — succeeds
+    on an easy scene, escalates (with goal-set reuse on the exact stage)
+    on a budget-strangled one, and restores every session cfg."""
+    from omg_planner_tpu.planner.cascade import plan_cascade_suite
+
+    cfg_easy = CFG
+    scenes = [(0, PlanningScene.synthetic(cfg_easy, scene_id=0,
+                                          n_obstacles=2)),
+              (1, PlanningScene.synthetic(cfg_easy, scene_id=1,
+                                          n_obstacles=3))]
+    outs = plan_cascade_suite(scenes, cfg_easy, goal_retries=1, chunk=2)
+    assert set(outs) == {0, 1}
+    for sid, out in outs.items():
+        assert out.traj.shape[1] == 9
+        assert np.isfinite(out.traj).all()
+        assert out.backend in BACKENDS
+        assert out.attempts >= 1
+    assert any(o.flag for o in outs.values())
+    for _sid, sc in scenes:
+        assert sc.cfg == cfg_easy          # session cfg restored
+        assert sc.env._scene_sdf is None   # device buffers dropped
+
+    # budget-strangled: every backend fails -> results still returned,
+    # attempts counts the waves, cfg restored
+    cfg_tiny = CFG.replace(optim_steps=1, extra_smooth_steps=0,
+                           pre_terminate=False)
+    hard = [(7, PlanningScene.synthetic(cfg_tiny, scene_id=1,
+                                        n_obstacles=3))]
+    outs2 = plan_cascade_suite(hard, cfg_tiny, goal_retries=1, chunk=1)
+    assert not outs2[7].flag
+    assert outs2[7].attempts >= 2  # primary + at least one retry/backend
+    assert hard[0][1].cfg == cfg_tiny
