@@ -211,7 +211,16 @@ class OMGConfig:
     ik_two_stage: bool = True
     ik_prefilter_iters: int = 12
     ik_prefilter_tol: float = 0.05
-    ik_survivor_cap: int = 384
+    # 384 -> 256 measured on the hard suite (scripts/probe_goalset_knobs):
+    # warm build p50 -5% TPU / -31% CPU, valid goals -4%, success unchanged
+    ik_survivor_cap: int = 256
+    # iteration budget for the warm-started standoff-chain solves
+    # (0 = inherit ik_max_iters).  The chain re-solves from the prefilter
+    # solution and then hops ~2 cm per tail pose, so stragglers — not
+    # typical lanes — set its wall; the chain dominates the goal-set
+    # build (probe_goalset_stages: 288 of 380 ms CPU).  25 measured
+    # success-neutral with cap 256 (probe_goalset_knobs; 20 was not).
+    ik_chain_max_iters: int = 25
     # compact candidate lanes to at most this many valid ones before the
     # collision prune / dedupe stages (goal_set.py): invalid lanes (failed
     # IK, limit-violating flips, task-space-filtered) need no collision
@@ -220,6 +229,23 @@ class OMGConfig:
     # uniform (Gumbel top-k) subsample survives — same distribution the
     # final `sample_goals` stage applies anyway. 0 disables.
     goal_prune_cap: int = 512
+    # in-plan goal blacklist (framework extension; the reference plans once
+    # and reports FAIL, omg/planner.py:600-653): at steps s, s+every, ...
+    # a plan still colliding above `allow_collision_point` masks out the
+    # chosen goal's neighborhood (arm-joint L2 < radius — the goal-set
+    # dedupe diversity radius, omg/planner.py:545-560) IN-GRAPH and lets
+    # the learner re-target within the same step budget.  This moves the
+    # cascade's measured-effective goal-blacklist retries (planner/
+    # cascade.py, docs/diag_fails_r03.json: FAILs are dominated by bad
+    # goal CHOICE) inside the one jitted program: failing plans already
+    # run the full budget, so recoveries only SAVE steps.  The cascade's
+    # warm-vs-cold A/B showed retarget-from-the-failed-trajectory recovers
+    # the same scenes as a fresh respline.  0 disables (reference
+    # behavior).  Ignored on the goal-sharded path (the dynamic mask would
+    # need a collective re-rank; cascade retries cover it there).
+    inplan_blacklist_step: int = 0
+    inplan_blacklist_every: int = 15
+    inplan_blacklist_radius: float = 0.5
 
     def replace(self, **kw) -> "OMGConfig":
         return dataclasses.replace(self, **kw)

@@ -326,9 +326,15 @@ def solve_goal_set(
     # (planner.py:41-77), but the goal-set program's HLO carries ONE copy
     # of the batched solve instead of six, a large cut in the
     # (minutes-long on remote TPU) first compile.
+    # chain lanes are warm-started (prefilter solution, then ~2 cm tail
+    # hops), so their iteration budget can sit far below the cold
+    # ik_max_iters; 0 = inherit (see cfg.ik_chain_max_iters)
+    chain_cfg = (cfg.replace(ik_max_iters=cfg.ik_chain_max_iters)
+                 if cfg.ik_chain_max_iters else cfg)
+
     def chain_step(carry, tgt_k):
         prev, ok, active = carry
-        res = ik_batch(model, tgt_k, prev, cfg, lower7, upper7,
+        res = ik_batch(model, tgt_k, prev, chain_cfg, lower7, upper7,
                        active=active)
         return (res.q, ok & res.success, active & res.success), res.q
 

@@ -57,6 +57,9 @@ class PlanResult(NamedTuple):
     selected_goals: jnp.ndarray  # [S]
     steps_used: jnp.ndarray
     flag: jnp.ndarray          # True => SUCCESS ("BE GENTLE")
+    # final dynamic goal mask (== goal_set.mask unless the in-plan
+    # blacklist fired; lets cascade retries skip already-rejected goals)
+    goal_mask: jnp.ndarray | None = None
 
 
 class _Carry(NamedTuple):
@@ -66,6 +69,7 @@ class _Carry(NamedTuple):
     step: jnp.ndarray
     done: jnp.ndarray
     last_info: CostInfo
+    goal_mask: jnp.ndarray     # [G] dynamic validity (in-plan blacklist)
 
 
 def _chosen_goal(cfg: OMGConfig, goal_set: GoalSet, goal_idx):
@@ -141,6 +145,40 @@ def _final_info(model, cfg, hp, problem, carry):
 
 def _learner_enabled(cfg: OMGConfig) -> bool:
     return cfg.goal_set_proj and cfg.ol_alg not in ("Baseline", "Proj")
+
+
+def _blacklist_enabled(cfg: OMGConfig, cv_fn) -> bool:
+    """Static gate for the in-plan goal blacklist (cfg.inplan_blacklist_*).
+
+    Off on the goal-sharded path: the dynamic mask feeds the learner's
+    finalize step, which the sharded cv_fn computes behind a collective —
+    cascade-level blacklist retries cover that path instead."""
+    return (cfg.inplan_blacklist_step > 0 and cv_fn is None
+            and _learner_enabled(cfg))
+
+
+def _inplan_blacklist(cfg: OMGConfig, problem: PlanProblem, goal_mask,
+                      goal_idx, info: CostInfo, step):
+    """Mask out the chosen goal's neighborhood when the plan is still
+    colliding above the allowance at a check step (see the
+    ``inplan_blacklist_step`` config docstring).  Pure [G] elementwise
+    work — negligible against the step's FK/sweep programs."""
+    nstep = step + 1  # steps completed after this optimize
+    first = cfg.inplan_blacklist_step
+    due = nstep >= first
+    if cfg.inplan_blacklist_every > 0:
+        due &= ((nstep - first) % cfg.inplan_blacklist_every) == 0
+    else:
+        due &= nstep == first
+    # the learner must still be active afterwards to re-target
+    due &= nstep < cfg.optim_steps
+    failing = info.collide > cfg.allow_collision_point
+    grasps = problem.goal_set.grasps
+    d = jnp.linalg.norm(grasps[:, :7] - grasps[goal_idx, :7][None], axis=-1)
+    new_mask = goal_mask & (d >= cfg.inplan_blacklist_radius)
+    # never empty the goal set — keep the old mask when nothing survives
+    new_mask = jnp.where(jnp.any(new_mask), new_mask, goal_mask)
+    return jnp.where(due & failing, new_mask, goal_mask)
 
 
 def _learner_step(model, cfg, hp, problem: PlanProblem, traj, goal_idx,
@@ -229,6 +267,8 @@ def plan(model, cfg: OMGConfig, problem: PlanProblem,
 
     traj0, goal_idx0, learner0 = _learner_init(model, cfg, hp, problem, cv_fn)
 
+    use_bl = _blacklist_enabled(cfg, cv_fn)
+
     def scan_step(carry: _Carry, _):
         # once done, skip the step entirely — lax.cond executes one branch,
         # so a terminated plan pays nothing for the remaining scan slots
@@ -238,27 +278,34 @@ def plan(model, cfg: OMGConfig, problem: PlanProblem,
 
         def live(carry: _Carry):
             traj, goal_idx, lstate = carry.traj, carry.goal_idx, carry.learner
+            problem_l = (problem._replace(goal_set=problem.goal_set._replace(
+                mask=carry.goal_mask)) if use_bl else problem)
             if _learner_enabled(cfg):
                 lstate, goal_idx = _learner_step(
-                    model, cfg, hp, problem, traj, goal_idx, lstate,
+                    model, cfg, hp, problem_l, traj, goal_idx, lstate,
                     carry.step, cv_fn)
 
             new_traj, info = _optimize_once(
                 model, cfg, hp, problem, traj, goal_idx, carry.step)
 
             fired = info.terminate & (carry.step > 0)
+            goal_mask = carry.goal_mask
+            if use_bl:
+                goal_mask = _inplan_blacklist(
+                    cfg, problem, goal_mask, goal_idx, info, carry.step)
             # roll back the terminating step's update
             traj_out = jnp.where(fired, traj, new_traj)
             new_carry = _Carry(
                 traj=traj_out, goal_idx=goal_idx, learner=lstate,
-                step=carry.step + 1, done=fired, last_info=info)
+                step=carry.step + 1, done=fired, last_info=info,
+                goal_mask=goal_mask)
             return new_carry, (traj_out, info, goal_idx)
 
         return jax.lax.cond(carry.done, frozen, live, carry)
 
     info0 = _dummy_info(cfg)
     carry0 = _Carry(traj0, goal_idx0, learner0, jnp.asarray(0),
-                    jnp.asarray(False), info0)
+                    jnp.asarray(False), info0, problem.goal_set.mask)
     carry, (history, info_hist, selected) = jax.lax.scan(
         scan_step, carry0, None, length=total)
 
@@ -266,7 +313,8 @@ def plan(model, cfg: OMGConfig, problem: PlanProblem,
     return PlanResult(
         traj=carry.traj, goal_idx=carry.goal_idx, info=info,
         info_history=info_hist, history=history, selected_goals=selected,
-        steps_used=carry.step, flag=info.terminate)
+        steps_used=carry.step, flag=info.terminate,
+        goal_mask=carry.goal_mask)
 
 
 def plan_fast(model, cfg: OMGConfig, problem: PlanProblem,
@@ -278,25 +326,35 @@ def plan_fast(model, cfg: OMGConfig, problem: PlanProblem,
 
     traj0, goal_idx0, learner0 = _learner_init(model, cfg, hp, problem, cv_fn)
 
+    use_bl = _blacklist_enabled(cfg, cv_fn)
+
     def cond(carry: _Carry):
         return (~carry.done) & (carry.step < total)
 
     def body(carry: _Carry):
         traj, goal_idx, lstate = carry.traj, carry.goal_idx, carry.learner
+        problem_l = (problem._replace(goal_set=problem.goal_set._replace(
+            mask=carry.goal_mask)) if use_bl else problem)
         if _learner_enabled(cfg):
             lstate, goal_idx = _learner_step(
-                model, cfg, hp, problem, traj, goal_idx, lstate,
+                model, cfg, hp, problem_l, traj, goal_idx, lstate,
                 carry.step, cv_fn)
         new_traj, info = _optimize_once(
             model, cfg, hp, problem, traj, goal_idx, carry.step)
         fired = info.terminate & (carry.step > 0)
+        goal_mask = carry.goal_mask
+        if use_bl:
+            goal_mask = _inplan_blacklist(
+                cfg, problem, goal_mask, goal_idx, info, carry.step)
         return _Carry(
             traj=jnp.where(fired, traj, new_traj),
             goal_idx=goal_idx, learner=lstate,
-            step=carry.step + 1, done=fired, last_info=info)
+            step=carry.step + 1, done=fired, last_info=info,
+            goal_mask=goal_mask)
 
     carry0 = _Carry(traj0, goal_idx0, learner0, jnp.asarray(0),
-                    jnp.asarray(False), _dummy_info(cfg))
+                    jnp.asarray(False), _dummy_info(cfg),
+                    problem.goal_set.mask)
     carry = jax.lax.while_loop(cond, body, carry0)
     info = _final_info(model, cfg, hp, problem, carry)
     return PlanResult(
@@ -304,7 +362,8 @@ def plan_fast(model, cfg: OMGConfig, problem: PlanProblem,
         info_history=info,
         history=carry.traj[None],
         selected_goals=carry.goal_idx[None],
-        steps_used=carry.step, flag=info.terminate)
+        steps_used=carry.step, flag=info.terminate,
+        goal_mask=carry.goal_mask)
 
 
 def _dummy_info(cfg: OMGConfig) -> CostInfo:

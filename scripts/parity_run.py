@@ -77,6 +77,11 @@ def _ours_cfg():
         use_standoff=False,           # scene-goal mode (planner.py:161-162)
         ref_topk_quirks=True,         # reference top-k accumulation quirks
         learner_active_goals=0,       # reference sweeps ALL candidates
+        # goal-set build at the reference's full IK budget: the perf caps
+        # (two-stage survivor cap / chain budget) are OUR heuristics and
+        # shift which near-duplicate grasps survive, which flips
+        # tie-broken goal picks on symmetric goal sets mid-plan
+        ik_two_stage=False, ik_chain_max_iters=0, ik_stall_window=0,
     )
 
 
