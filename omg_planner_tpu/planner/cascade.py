@@ -139,7 +139,13 @@ def plan_cascade(scene: PlanningScene,
                 return CascadeResult(res, name, attempts, True)
             if best is None or _fail_rank(res) < _fail_rank(best[0]):
                 best = (res, name)
-            mask = np.asarray(scene.goal_set.mask).copy()
+            # each attempt's returned goal_mask already accumulates its
+            # input mask plus any in-plan blacklist rejections
+            # (cfg.inplan_blacklist_step) — use it as the retry baseline
+            # so waves never re-try goals the plan itself rejected
+            mask = (np.asarray(res.goal_mask).copy()
+                    if res.goal_mask is not None
+                    else np.asarray(scene.goal_set.mask).copy())
             for _ in range(goal_retries):
                 mask = goal_blacklist(scene.goal_set, mask, res.goal_idx)
                 if not mask.any():
@@ -152,6 +158,8 @@ def plan_cascade(scene: PlanningScene,
                     return CascadeResult(res, name, attempts, True)
                 if _fail_rank(res) < _fail_rank(best[0]):
                     best = (res, name)
+                if res.goal_mask is not None:
+                    mask &= np.asarray(res.goal_mask)
     finally:
         scene.cfg = base_cfg
         scene._sync_env_cfg()
@@ -271,7 +279,14 @@ def plan_cascade_suite(scenes, base_cfg: OMGConfig,
                         if wave == goal_retries:
                             redispatch.append((i, None))
                             continue
-                        if masks[i] is None:
+                        # baseline = the attempt's own final mask, which
+                        # accumulates its input mask plus any in-plan
+                        # blacklist rejections (see plan_cascade)
+                        if res.goal_mask is not None:
+                            rm = np.asarray(res.goal_mask)
+                            masks[i] = (rm.copy() if masks[i] is None
+                                        else masks[i] & rm)
+                        elif masks[i] is None:
                             masks[i] = np.asarray(
                                 probs[i].goal_set.mask).copy()
                         masks[i] = goal_blacklist(

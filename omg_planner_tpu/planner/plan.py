@@ -70,6 +70,10 @@ class _Carry(NamedTuple):
     done: jnp.ndarray
     last_info: CostInfo
     goal_mask: jnp.ndarray     # [G] dynamic validity (in-plan blacklist)
+    # step at which the cost schedule (re)started: a blacklist restart sets
+    # this to the restart step so obstacle/smoothness/step-size schedules
+    # behave like a fresh plan (the cascade's re-plan gets this for free)
+    sched0: jnp.ndarray
 
 
 def _chosen_goal(cfg: OMGConfig, goal_set: GoalSet, goal_idx):
@@ -135,7 +139,7 @@ def _final_info(model, cfg, hp, problem, carry):
     from that evaluation."""
     def recompute(_):
         return _evaluate(model, cfg, hp, problem, carry.traj,
-                         carry.goal_idx, carry.step)[0]
+                         carry.goal_idx, carry.step - carry.sched0)[0]
 
     def keep(_):
         return carry.last_info
@@ -159,10 +163,12 @@ def _blacklist_enabled(cfg: OMGConfig, cv_fn) -> bool:
 
 def _inplan_blacklist(cfg: OMGConfig, problem: PlanProblem, goal_mask,
                       goal_idx, info: CostInfo, step):
-    """Mask out the chosen goal's neighborhood when the plan is still
-    colliding above the allowance at a check step (see the
-    ``inplan_blacklist_step`` config docstring).  Pure [G] elementwise
-    work — negligible against the step's FK/sweep programs."""
+    """Blacklist trigger: the chosen goal's neighborhood is masked out when
+    the plan is still colliding above the allowance at a check step (see
+    the ``inplan_blacklist_step`` config docstring).  Pure [G] elementwise
+    work — negligible against the step's FK/sweep programs.
+
+    Returns (new_mask, fired?)."""
     nstep = step + 1  # steps completed after this optimize
     first = cfg.inplan_blacklist_step
     due = nstep >= first
@@ -177,8 +183,40 @@ def _inplan_blacklist(cfg: OMGConfig, problem: PlanProblem, goal_mask,
     d = jnp.linalg.norm(grasps[:, :7] - grasps[goal_idx, :7][None], axis=-1)
     new_mask = goal_mask & (d >= cfg.inplan_blacklist_radius)
     # never empty the goal set — keep the old mask when nothing survives
-    new_mask = jnp.where(jnp.any(new_mask), new_mask, goal_mask)
-    return jnp.where(due & failing, new_mask, goal_mask)
+    have = jnp.any(new_mask)
+    fire = due & failing & have
+    return jnp.where(fire, new_mask, goal_mask), fire
+
+
+def _blacklist_restart(cfg: OMGConfig, problem: PlanProblem, mask, lstate):
+    """In-graph equivalent of the cascade's blacklist RE-PLAN (the
+    measured-effective recovery, planner/cascade.py): fresh spline to the
+    learner's best remaining goal, learner distribution reset to uniform
+    over the shrunken mask, schedule restarted by the caller (sched0).
+    A bare mid-plan retarget recovers far less (2/8 vs the cascade waves'
+    ~74% on the diagnosed FAILs) — the decayed cost schedule and the
+    converged trajectory/learner state are what keep the plan stuck.
+
+    Returns (traj, goal_idx, lstate) for the restarted attempt."""
+    gs = problem.goal_set
+    mf = mask.astype(jnp.float32)
+    uniform = mf / jnp.maximum(mf.sum(), 1.0)
+    # best remaining goal by the learner's current belief
+    new_goal = jnp.argmax(jnp.where(mask, lstate.p, -jnp.inf)).astype(
+        jnp.int32)
+    new_traj = cubic_interpolate(
+        problem.start, gs.grasps[new_goal], cfg.timesteps)
+    rt = lstate._replace(
+        p=uniform,
+        sum_costs=jnp.zeros_like(lstate.sum_costs),
+        experts_p=jnp.tile(uniform[None], (ol.NUM_EXPERTS, 1)),
+        experts_costs=jnp.zeros_like(lstate.experts_costs),
+        q=jnp.ones_like(lstate.q) / ol.NUM_EXPERTS,
+        t=jnp.zeros_like(lstate.t),
+        ti=jnp.zeros_like(lstate.ti))
+    # active_idx / last_raw are kept: stale lane ranks are re-picked by the
+    # refresh cadence, and blacklisted lanes are masked at finalize anyway
+    return new_traj, new_goal, rt
 
 
 def _learner_step(model, cfg, hp, problem: PlanProblem, traj, goal_idx,
@@ -286,26 +324,36 @@ def plan(model, cfg: OMGConfig, problem: PlanProblem,
                     carry.step, cv_fn)
 
             new_traj, info = _optimize_once(
-                model, cfg, hp, problem, traj, goal_idx, carry.step)
+                model, cfg, hp, problem, traj, goal_idx,
+                carry.step - carry.sched0)
 
             fired = info.terminate & (carry.step > 0)
-            goal_mask = carry.goal_mask
+            goal_mask, sched0 = carry.goal_mask, carry.sched0
             if use_bl:
-                goal_mask = _inplan_blacklist(
+                goal_mask, bl = _inplan_blacklist(
                     cfg, problem, goal_mask, goal_idx, info, carry.step)
+                bl &= ~fired
+                rt_traj, rt_goal, rt_lstate = _blacklist_restart(
+                    cfg, problem, goal_mask, lstate)
+                new_traj = jnp.where(bl, rt_traj, new_traj)
+                goal_idx = jnp.where(bl, rt_goal, goal_idx)
+                lstate = jax.tree.map(
+                    lambda a, b: jnp.where(bl, b, a), lstate, rt_lstate)
+                sched0 = jnp.where(bl, carry.step + 1, sched0)
             # roll back the terminating step's update
             traj_out = jnp.where(fired, traj, new_traj)
             new_carry = _Carry(
                 traj=traj_out, goal_idx=goal_idx, learner=lstate,
                 step=carry.step + 1, done=fired, last_info=info,
-                goal_mask=goal_mask)
+                goal_mask=goal_mask, sched0=sched0)
             return new_carry, (traj_out, info, goal_idx)
 
         return jax.lax.cond(carry.done, frozen, live, carry)
 
     info0 = _dummy_info(cfg)
     carry0 = _Carry(traj0, goal_idx0, learner0, jnp.asarray(0),
-                    jnp.asarray(False), info0, problem.goal_set.mask)
+                    jnp.asarray(False), info0, problem.goal_set.mask,
+                    jnp.asarray(0))
     carry, (history, info_hist, selected) = jax.lax.scan(
         scan_step, carry0, None, length=total)
 
@@ -340,21 +388,30 @@ def plan_fast(model, cfg: OMGConfig, problem: PlanProblem,
                 model, cfg, hp, problem_l, traj, goal_idx, lstate,
                 carry.step, cv_fn)
         new_traj, info = _optimize_once(
-            model, cfg, hp, problem, traj, goal_idx, carry.step)
+            model, cfg, hp, problem, traj, goal_idx,
+            carry.step - carry.sched0)
         fired = info.terminate & (carry.step > 0)
-        goal_mask = carry.goal_mask
+        goal_mask, sched0 = carry.goal_mask, carry.sched0
         if use_bl:
-            goal_mask = _inplan_blacklist(
+            goal_mask, bl = _inplan_blacklist(
                 cfg, problem, goal_mask, goal_idx, info, carry.step)
+            bl &= ~fired
+            rt_traj, rt_goal, rt_lstate = _blacklist_restart(
+                cfg, problem, goal_mask, lstate)
+            new_traj = jnp.where(bl, rt_traj, new_traj)
+            goal_idx = jnp.where(bl, rt_goal, goal_idx)
+            lstate = jax.tree.map(
+                lambda a, b: jnp.where(bl, b, a), lstate, rt_lstate)
+            sched0 = jnp.where(bl, carry.step + 1, sched0)
         return _Carry(
             traj=jnp.where(fired, traj, new_traj),
             goal_idx=goal_idx, learner=lstate,
             step=carry.step + 1, done=fired, last_info=info,
-            goal_mask=goal_mask)
+            goal_mask=goal_mask, sched0=sched0)
 
     carry0 = _Carry(traj0, goal_idx0, learner0, jnp.asarray(0),
                     jnp.asarray(False), _dummy_info(cfg),
-                    problem.goal_set.mask)
+                    problem.goal_set.mask, jnp.asarray(0))
     carry = jax.lax.while_loop(cond, body, carry0)
     info = _final_info(model, cfg, hp, problem, carry)
     return PlanResult(
