@@ -233,18 +233,23 @@ class OMGConfig:
     # and reports FAIL, omg/planner.py:600-653): at steps s, s+every, ...
     # a plan still colliding above `allow_collision_point` masks out the
     # chosen goal's neighborhood (arm-joint L2 < radius — the goal-set
-    # dedupe diversity radius, omg/planner.py:545-560) IN-GRAPH and lets
-    # the learner re-target within the same step budget.  This moves the
-    # cascade's measured-effective goal-blacklist retries (planner/
-    # cascade.py, docs/diag_fails_r03.json: FAILs are dominated by bad
-    # goal CHOICE) inside the one jitted program: failing plans already
-    # run the full budget, so recoveries only SAVE steps.  The cascade's
-    # warm-vs-cold A/B showed retarget-from-the-failed-trajectory recovers
-    # the same scenes as a fresh respline.  0 disables (reference
-    # behavior).  Ignored on the goal-sharded path (the dynamic mask would
-    # need a collective re-rank; cascade retries cover it there).
-    inplan_blacklist_step: int = 0
-    inplan_blacklist_every: int = 15
+    # dedupe diversity radius, omg/planner.py:545-560) IN-GRAPH and
+    # RESTARTS within the same step budget: fresh spline to the learner's
+    # best remaining goal, learner distribution reset, cost schedule
+    # restarted — the cascade's measured-effective goal-blacklist RE-PLAN
+    # (planner/cascade.py, docs/diag_fails_r03.json: FAILs are dominated
+    # by bad goal CHOICE) fused into the one jitted program, selected by
+    # jnp.where (no extra dispatches).  Measured on the 100-scene hard
+    # suite (v5e; scripts/probe_inplan_blacklist.py): primary success
+    # 0.66 -> 0.97-0.98 with FEWER mean steps (34.9 -> 15.3) and faster
+    # p50 (42 -> 31 ms) — recovered plans early-terminate instead of
+    # burning the 70-step budget; recovered trajectories are validator-
+    # clean at the same rate as ordinary successes (DESIGN §3c).
+    # 0 disables (reference behavior; parity runs pin 0).  Ignored on the
+    # goal-sharded path (the dynamic mask would need a collective re-rank;
+    # cascade retries cover it there).
+    inplan_blacklist_step: int = 12
+    inplan_blacklist_every: int = 6
     inplan_blacklist_radius: float = 0.5
 
     def replace(self, **kw) -> "OMGConfig":
