@@ -45,6 +45,11 @@ def main():
                            "ik_chain_max_iters": 25},
         "cap192+chain20": {"ik_survivor_cap": 192,
                            "ik_chain_max_iters": 20},
+        "seeds9": {"ik_seed_num": 9},
+        "seeds7": {"ik_seed_num": 7},
+        "seeds5": {"ik_seed_num": 5},
+        "pre8": {"ik_prefilter_iters": 8},
+        "seeds7+pre8": {"ik_seed_num": 7, "ik_prefilter_iters": 8},
     }
     if args.variants:
         keep = args.variants.split(",")
