@@ -255,7 +255,11 @@ def plan_cascade_suite(scenes, base_cfg: OMGConfig,
                             sc.build_problem(assume_goals=True), max_obj)
                         cached_problems[sid] = pr
                     probs.append(pr)
-                    handles.append(plan_one(model, cfg_b.jit_key(), pr))
+                    h = plan_one(model, cfg_b.jit_key(), pr)
+                    # overlap device->host copies with later device work
+                    # (see runner.plan_pipelined.dispatch)
+                    jax.tree.map(lambda a: a.copy_to_host_async(), h)
+                    handles.append(h)
                     attempts[sid] += 1
                 masks = [None] * len(batch)
                 live = list(range(len(batch)))
@@ -304,7 +308,9 @@ def plan_cascade_suite(scenes, base_cfg: OMGConfig,
                         gs_ = probs[i].goal_set
                         pr2 = probs[i]._replace(
                             goal_set=gs_._replace(mask=jnp.asarray(mask)))
-                        handles[i] = plan_one(model, cfg_b.jit_key(), pr2)
+                        h = plan_one(model, cfg_b.jit_key(), pr2)
+                        jax.tree.map(lambda a: a.copy_to_host_async(), h)
+                        handles[i] = h
                         attempts[sid] += 1
                         live.append(i)
                     if not live:

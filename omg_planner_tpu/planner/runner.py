@@ -90,6 +90,13 @@ def plan_pipelined(scenes, cfg: OMGConfig, model=None, depth: int = 4,
         # (a host sync on the mask here would serialize the pipeline)
         problem = pad_objects(sc.build_problem(assume_goals=True), max_obj)
         res = plan_one(model, sc.cfg.jit_key(), problem)
+        # queue device->host copies NOW (they run after the plan finishes,
+        # overlapping later scenes' device work): a harvest-time fetch of
+        # ~22 result leaves pays a serial ~1 ms tunnel round trip per leaf
+        # (measured 77 ms/scene ready-result fetch -> 23 ms with async
+        # copies; the harvest profile was 75% of the whole pipelined pass)
+        jax.tree.map(lambda a: a.copy_to_host_async(),
+                     (res, problem.goal_set.mask))
         return res, problem.goal_set.mask, t0
 
     def harvest(sid, sc, handle):
