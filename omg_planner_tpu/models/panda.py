@@ -58,6 +58,11 @@ _PRISMATIC = np.zeros(DOF, dtype=np.float32)
 _PRISMATIC[7:] = 1.0
 
 
+# (id(lower), id(upper), padding) -> (lower, upper, lo, hi); see
+# PandaModel.soft_limits
+_SOFT_LIMITS_CACHE: dict = {}
+
+
 class PandaModel(NamedTuple):
     """Constant kinematic tables (a pytree of arrays; safe to close over)."""
 
@@ -75,9 +80,18 @@ class PandaModel(NamedTuple):
         return self.collision_points.shape[1]
 
     def soft_limits(self, padding: float):
-        lo = self.joint_lower.at[:7].add(padding)
-        hi = self.joint_upper.at[:7].add(-padding)
-        return lo, hi
+        # cached: called per scene dispatch on the hot staging path, and
+        # each eager .at[].add is a device round trip on the remote tunnel
+        # (4 ms/scene measured in the pipelined-pass profile).  Keyed on
+        # the limits array's id; the stored strong ref keeps the id valid.
+        key = (id(self.joint_lower), id(self.joint_upper), float(padding))
+        hit = _SOFT_LIMITS_CACHE.get(key)
+        if hit is None:
+            lo = self.joint_lower.at[:7].add(padding)
+            hi = self.joint_upper.at[:7].add(-padding)
+            hit = (self.joint_lower, self.joint_upper, lo, hi)
+            _SOFT_LIMITS_CACHE[key] = hit
+        return hit[2], hit[3]
 
 
 def _rot_x_mat(a: float) -> np.ndarray:
@@ -90,6 +104,7 @@ def _load_tables(path: str = _ASSET):
     return dict(np.load(path, allow_pickle=True))
 
 
+@functools.lru_cache(maxsize=8)
 def load_panda(
     collision_point_num: int = 15,
     asset_path: str = _ASSET,
@@ -101,6 +116,10 @@ def load_panda(
     ``collision_point_num`` points per link are taken deterministically
     (evenly strided) from the stored per-link point sets — the reference
     random-samples mesh vertices instead (``omg/core.py:166-190``).
+
+    Memoized: the model is an immutable NamedTuple of device constants,
+    and a 100-scene suite otherwise constructs (and uploads) 100 copies —
+    per-scene Envs each call this (``planner/scene.py:36``).
     """
     t = _load_tables(asset_path)
     offsets = t["dh_offsets"]

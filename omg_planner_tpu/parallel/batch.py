@@ -81,6 +81,22 @@ def pad_scene(scene, num_objects: int):
             else scene._replace(data=data, limits=lim))
 
 
+def _pad_objects_eager(problem: PlanProblem, num_objects: int,
+                       o: int) -> PlanProblem:
+    return problem._replace(
+        scene=pad_scene(problem.scene, num_objects),
+        cost_params=_pad_cost_params(problem.cost_params,
+                                     num_objects - o))
+
+
+# jitted per (num_objects, pytree structure): the eager path is ~10 small
+# concat/tile dispatches, each a host round trip on the remote tunnel
+# (~5 ms/scene in the pipelined-pass profile); one fused program is one
+# dispatch.  Analytic problems only — a jitted pad of a GRID problem would
+# round-trip the ~100 MB padded SDF stack through a copying program.
+_pad_objects_jit = jax.jit(_pad_objects_eager, static_argnums=(1, 2))
+
+
 def pad_objects(problem: PlanProblem, num_objects: int) -> PlanProblem:
     """Pad a problem's object dimension with disabled dummy objects."""
     from ..ops.sdf import AnalyticScene, BakedSceneSDF
@@ -91,10 +107,9 @@ def pad_objects(problem: PlanProblem, num_objects: int) -> PlanProblem:
           else scene.data).shape[0])
     if o == num_objects:
         return problem
-    return problem._replace(
-        scene=pad_scene(scene, num_objects),
-        cost_params=_pad_cost_params(problem.cost_params,
-                                     num_objects - o))
+    if isinstance(scene, AnalyticScene):
+        return _pad_objects_jit(problem, num_objects, o)
+    return _pad_objects_eager(problem, num_objects, o)
 
 
 def _pad_cost_params(cp, extra: int):

@@ -37,6 +37,59 @@ def _plan_one():
     return jax.jit(plan_fast, static_argnums=(1,))
 
 
+#: CostInfo scalar fields in pack order (floats then bools), followed by
+#: the PlanResult's own scalars.  See _pack_result/_unpack_result.
+_SCALAR_FIELDS = (
+    "cost", "obs", "smooth", "weighted_obs", "weighted_smooth",
+    "grad_norm", "smooth_grad_norm", "obs_grad_norm", "collide", "reach",
+    "terminate", "failure_terminate", "execute", "violate_limit")
+
+
+@functools.lru_cache(maxsize=2)
+def _pack_fn():
+    """Device-side packing of a plan_fast result into FOUR arrays.
+
+    A full PlanResult fetch touches ~23 distinct leaves and each leaf's
+    host copy pays a per-array round trip on the remote tunnel
+    (~0.3-1 ms/leaf — device_get was 55-75% of the whole pipelined pass
+    in profiles).  Packing the scalars into one vector cuts the fetch to
+    4 arrays; the host reconstructs the identical numpy PlanResult."""
+    import jax
+    import jax.numpy as jnp
+
+    def pack(res, mask):
+        info = res.info
+        scalars = jnp.stack(
+            [getattr(info, f).astype(jnp.float32) for f in _SCALAR_FIELDS]
+            + [res.goal_idx.astype(jnp.float32),
+               res.steps_used.astype(jnp.float32),
+               res.flag.astype(jnp.float32)])
+        masks = jnp.stack([
+            mask,
+            mask if res.goal_mask is None else res.goal_mask])
+        return res.traj, info.cost_traj, scalars, masks
+
+    return jax.jit(pack)
+
+
+def _unpack_result(traj, cost_traj, scalars, masks):
+    """Rebuild the numpy-mapped (PlanResult, n_valid) a harvest returns."""
+    from ..ops.chomp import CostInfo
+    from ..planner.plan import PlanResult
+
+    floats = [np.float32(scalars[i]) for i in range(10)]
+    bools = [bool(scalars[10 + i]) for i in range(4)]
+    info = CostInfo(*floats, *bools, cost_traj=cost_traj)
+    goal_idx = np.int32(scalars[14])
+    steps = np.int32(scalars[15])
+    flag = bool(scalars[16])
+    res = PlanResult(
+        traj=traj, goal_idx=goal_idx, info=info, info_history=info,
+        history=traj[None], selected_goals=np.asarray([goal_idx]),
+        steps_used=steps, flag=flag, goal_mask=masks[1])
+    return res, int(masks[0].sum())
+
+
 def plan_pipelined(scenes, cfg: OMGConfig, model=None, depth: int = 4,
                    pad_to=None, max_obj: int | None = None):
     """Pipelined suite execution: keep up to ``depth`` scenes' staging +
@@ -90,31 +143,25 @@ def plan_pipelined(scenes, cfg: OMGConfig, model=None, depth: int = 4,
         # (a host sync on the mask here would serialize the pipeline)
         problem = pad_objects(sc.build_problem(assume_goals=True), max_obj)
         res = plan_one(model, sc.cfg.jit_key(), problem)
-        # queue device->host copies NOW (they run after the plan finishes,
-        # overlapping later scenes' device work): a harvest-time fetch of
-        # ~22 result leaves pays a serial ~1 ms tunnel round trip per leaf
-        # (measured 77 ms/scene ready-result fetch -> 23 ms with async
-        # copies; the harvest profile was 75% of the whole pipelined pass)
-        jax.tree.map(lambda a: a.copy_to_host_async(),
-                     (res, problem.goal_set.mask))
-        return res, problem.goal_set.mask, t0
+        # pack the result into 4 device arrays (a full PlanResult fetch
+        # pays a per-leaf tunnel round trip x ~23 leaves) and queue the
+        # device->host copies NOW — they run after the plan finishes,
+        # overlapping later scenes' device work (measured: 77 ms/scene
+        # ready-result fetch -> 23 ms async -> ~2 ms packed)
+        packed = _pack_fn()(res, problem.goal_set.mask)
+        jax.tree.map(lambda a: a.copy_to_host_async(), packed)
+        return packed, t0
 
     def harvest(sid, sc, handle):
-        res, mask, t0 = handle
+        packed, t0 = handle
         try:
-            # ONE batched device->host fetch (jax.device_get overlaps the
-            # per-buffer copies): per-leaf np.asarray would pay a tunnel
-            # round trip PER LEAF on remote TPU (~25 leaves -> ~1 s/scene,
-            # measured — it flattened the whole pipeline to 1 plan/s)
-            res, mask_np = jax.device_get((res, mask))
-            n_valid = int(mask_np.sum())
+            res, n_valid = _unpack_result(*jax.device_get(packed))
         except Exception:
             # transient fault: the whole in-flight window may be poisoned;
             # re-run this scene serially with retries
             def rerun():
-                r2, m2, t2 = dispatch(sc)
-                r2, m2 = jax.device_get((r2, m2))
-                return r2, int(m2.sum())
+                p2, t2 = dispatch(sc)
+                return _unpack_result(*jax.device_get(p2))
 
             res, n_valid = retry_transient(rerun, f"pipelined scene {sid}")
         sc.env._scene_sdf = None  # HBM discipline
