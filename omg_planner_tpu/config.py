@@ -245,9 +245,10 @@ class OMGConfig:
     # p50 (42 -> 31 ms) — recovered plans early-terminate instead of
     # burning the 70-step budget; recovered trajectories are validator-
     # clean at the same rate as ordinary successes (DESIGN §3c).
-    # 0 disables (reference behavior; parity runs pin 0).  Ignored on the
-    # goal-sharded path (the dynamic mask would need a collective re-rank;
-    # cascade retries cover it there).
+    # 0 disables (reference behavior; parity runs pin 0).  Runs on the
+    # goal-sharded path too: the dynamic mask is applied at the
+    # post-gather finalize, leaving the sweep's collective unconditional
+    # (planner/plan.py::_blacklist_enabled).
     inplan_blacklist_step: int = 12
     inplan_blacklist_every: int = 6
     inplan_blacklist_radius: float = 0.5

@@ -116,6 +116,7 @@ def ik_batch(
     lower7: jnp.ndarray,
     upper7: jnp.ndarray,
     active: jnp.ndarray | None = None,  # [B] bool: lanes that gate the loop
+    err_reduce=None,        # optional scalar reduce of the exit gate (pmax)
 ) -> IKResult:
     """Damped Newton IK over a whole batch in one loop.
 
@@ -140,6 +141,13 @@ def ik_batch(
     >15% every few iterations without ever converging) would otherwise
     re-arm its stall counter indefinitely.  Dropped lanes keep receiving
     Newton updates while the loop runs for others.
+
+    ``err_reduce``: optional reduction applied to the scalar exit gate each
+    iteration.  The mesh-sharded goal-set build passes
+    ``lambda e: lax.pmax(e, axis)`` so every shard's Newton loop runs
+    exactly as many iterations as the single-chip solve over the full
+    batch would — per-lane updates are independent, so a synced exit makes
+    the sharded chain numerically interchangeable with the unsharded one.
     """
     lam = cfg.ik_damping
     exit_tol = cfg.ik_pos_tol
@@ -167,7 +175,10 @@ def ik_batch(
         stall = jnp.where(improved & ~dropped, 0, stall + 1)
         err_best = jnp.minimum(err_best, err)
         gate = act if window == 0 else act & (stall < window)
-        return it + 1, q, err_best, stall, jnp.where(gate, err, 0.0).max()
+        gate_err = jnp.where(gate, err, 0.0).max()
+        if err_reduce is not None:
+            gate_err = err_reduce(gate_err)
+        return it + 1, q, err_best, stall, gate_err
 
     _, q, _, _, _ = jax.lax.while_loop(
         cond, body, (jnp.asarray(0), seeds, jnp.full(b, jnp.inf, seeds.dtype),
@@ -261,6 +272,7 @@ def solve_goal_set(
     upper7: jnp.ndarray,
     attached: bool = False,
     grasp_valid: jnp.ndarray | None = None,  # [N] bool
+    axis: str | None = None,
 ):
     """All (grasp x seed) standoff chains as staged batched solves
     (replaces ``multiprocessing.Pool(4)``, ``omg/planner.py:395-443``).
@@ -278,6 +290,17 @@ def solve_goal_set(
     convergence exit to the full iteration budget.  This removes the
     round-1 pathology where hopeless lanes ran the whole 6 x 60-iteration
     budget for everyone (goal-set build was ~75x the plan itself).
+
+    ``axis``: mesh axis name when called inside ``shard_map`` — the CHAIN
+    lanes (the dominant cost: ~75% of the build) are sharded over the
+    axis, while the prefilter + survivor ranking run replicated so every
+    shard picks the bit-identical global survivor set (a shard-local
+    top-k would legitimately choose different lanes than the single-chip
+    solve — the round-3 dryrun divergence class).  Each shard solves a
+    contiguous slice of the survivor list with the convergence exit
+    synced via ``pmax`` (identical iteration counts), and one all_gather
+    per output reassembles lanes in original order, so the result is
+    numerically interchangeable with the unsharded solve.
 
     Returns (reach [K, tail, 9], standoff [K, 9], valid [K],
     lane_idx [K]) where K = min(N*S, survivor cap) under two-stage (K =
@@ -307,18 +330,42 @@ def solve_goal_set(
         score = jnp.where(lane_valid, err_pre, jnp.inf)
         k_cap = min(b, cfg.ik_survivor_cap) if cfg.ik_survivor_cap else b
         lane_idx = jax.lax.top_k(-score, k_cap)[1]
+        warm = q_pre
+        act_full = lane_valid & (err_pre < cfg.ik_prefilter_tol)
+    else:
+        k_cap = b
+        lane_idx = jnp.arange(b, dtype=jnp.int32)
+        warm = seeds_b
+        act_full = lane_valid
+
+    err_reduce = None
+    if axis is not None:
+        # shard the chain: contiguous slice of the (replicated, global)
+        # survivor list per shard; pad the list to a multiple of the axis
+        # size with inactive dummy lanes (sliced off after the gather)
+        ns = jax.lax.axis_size(axis)
+        shard = jax.lax.axis_index(axis)
+        per = -(-k_cap // ns)
+        pad = per * ns - k_cap
+        lane_padded = (jnp.concatenate(
+            [lane_idx, jnp.zeros(pad, lane_idx.dtype)]) if pad else lane_idx)
+        pad_mask = jnp.arange(per * ns) < k_cap
+        my_lane = jax.lax.dynamic_slice_in_dim(lane_padded, shard * per, per)
+        my_live = jax.lax.dynamic_slice_in_dim(pad_mask, shard * per, per)
         # take_rows: plain a[idx] lowers to lax.gather with slice_sizes>1,
-        # ~50x slower than scalar takes on v5e (41 ms for this [624,5,4,4]
-        # compaction alone; DESIGN.md §3b).
+        # ~50x slower than scalar takes on v5e (DESIGN.md §3b)
+        tgt = take_rows(tgt, my_lane)
+        seeds_b = take_rows(warm, my_lane)
+        active = jnp.take(act_full, my_lane) & my_live
+        err_reduce = lambda e: jax.lax.pmax(e, axis)
+        b = per
+    elif cfg.ik_two_stage:
         tgt = take_rows(tgt, lane_idx)
-        seeds_b = take_rows(q_pre, lane_idx)
-        lane_valid = jnp.take(lane_valid, lane_idx)
-        active = lane_valid & (jnp.take(err_pre, lane_idx)
-                               < cfg.ik_prefilter_tol)
+        seeds_b = take_rows(warm, lane_idx)
+        active = jnp.take(act_full, lane_idx)
         b = k_cap
     else:
-        lane_idx = jnp.arange(b, dtype=jnp.int32)
-        active = lane_valid
+        active = act_full
 
     # One scanned Newton body instead of 1 + `tail` separately-traced
     # while_loops: the far standoff solves first (from the seed), then each
@@ -335,7 +382,7 @@ def solve_goal_set(
     def chain_step(carry, tgt_k):
         prev, ok, active = carry
         res = ik_batch(model, tgt_k, prev, chain_cfg, lower7, upper7,
-                       active=active)
+                       active=active, err_reduce=err_reduce)
         return (res.q, ok & res.success, active & res.success), res.q
 
     chain_tgts = jnp.concatenate(
@@ -353,4 +400,14 @@ def solve_goal_set(
     standoff_q = qs[:, -1] if attached else qs[:, 0]
     standoff = jnp.concatenate(
         [standoff_q, jnp.full((b, 2), 0.04, qs.dtype)], axis=-1)
+
+    if axis is not None:
+        def gather(x):
+            g = jax.lax.all_gather(x, axis)
+            return g.reshape((-1,) + x.shape[1:])
+
+        # shard-major gather == original survivor order; trim the padding
+        reach = gather(reach)[:k_cap]
+        standoff = gather(standoff)[:k_cap]
+        valid = gather(valid)[:k_cap]
     return reach, standoff, valid, lane_idx

@@ -55,6 +55,18 @@ class LearnerState(NamedTuple):
     last_raw: jnp.ndarray      # [G]
 
 
+def sweep_restricted(cfg: OMGConfig, capacity: int) -> bool:
+    """Static: is the per-step candidate sweep restricted to the
+    ``cfg.learner_active_goals`` best-ranked lanes for this goal capacity?
+
+    Shared by the plan loop and the goal-sharded path: when True, the
+    sweep touches only K lanes (no collectives anywhere in the learner),
+    so the sharded planner runs the identical replicated program instead
+    of injecting a gathered cost vector (``parallel/batch.py``)."""
+    return bool(cfg.learner_active_goals and cfg.ol_alg != "Proj"
+                and cfg.learner_active_goals < capacity)
+
+
 def init_learner_state(goal_set: GoalSet,
                        active_goals: int = 0) -> LearnerState:
     g = goal_set.capacity
@@ -369,17 +381,21 @@ def update_goal(
     """Advance the learner one step and pick argmax goal
     (reference ``update_goal``, ``:237-249``).
 
-    ``cv_fn(traj, t) -> [G]`` overrides the candidate-cost evaluation — the
-    goal-sharded planner injects a shard-local sweep + ``all_gather`` here
-    so single-chip and sharded paths share this loop (``parallel/batch.py``).
+    ``cv_fn(traj, t, mask) -> [G]`` overrides the candidate-cost
+    evaluation — the goal-sharded planner injects a shard-local sweep +
+    ``all_gather`` here so single-chip and sharded paths share this loop
+    (``parallel/batch.py``).  ``mask`` is ``goal_set.mask``, which the
+    plan loop narrows mid-plan (in-plan blacklist); the injected sweep's
+    collective must be mask-independent, applying the mask only at the
+    finalize step.  Unused when the sweep is restricted to active lanes
+    (:func:`sweep_restricted` — the restricted sweep is collective-free
+    and runs as-is on every shard).
 
     Returns (new_state, goal_idx).
     """
     t = state.t + 1.0
     state = state._replace(t=t)
-    restrict = (cfg.learner_active_goals and cv_fn is None
-                and cfg.ol_alg != "Proj"
-                and cfg.learner_active_goals < goal_set.capacity
+    restrict = (sweep_restricted(cfg, goal_set.capacity)
                 # a state built without active lanes (direct
                 # init_learner_state callers) falls back to the full sweep
                 and state.active_idx.shape[0] > 0)
@@ -425,7 +441,7 @@ def update_goal(
         state = state._replace(last_raw=raw_full, active_idx=active)
         state = update_goal_dist(cfg, state, cv, goal_set, traj[-1])
     else:
-        cv = (cv_fn(traj, t) if cv_fn is not None else
+        cv = (cv_fn(traj, t, goal_set.mask) if cv_fn is not None else
               cost_vector(model, scene, params, cfg, hp, traj, goal_set, t,
                           world_potential))
         state = update_goal_dist(cfg, state, cv, goal_set, traj[-1])

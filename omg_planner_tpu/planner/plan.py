@@ -151,14 +151,16 @@ def _learner_enabled(cfg: OMGConfig) -> bool:
     return cfg.goal_set_proj and cfg.ol_alg not in ("Baseline", "Proj")
 
 
-def _blacklist_enabled(cfg: OMGConfig, cv_fn) -> bool:
+def _blacklist_enabled(cfg: OMGConfig) -> bool:
     """Static gate for the in-plan goal blacklist (cfg.inplan_blacklist_*).
 
-    Off on the goal-sharded path: the dynamic mask feeds the learner's
-    finalize step, which the sharded cv_fn computes behind a collective —
-    cascade-level blacklist retries cover that path instead."""
-    return (cfg.inplan_blacklist_step > 0 and cv_fn is None
-            and _learner_enabled(cfg))
+    Runs on the goal-sharded path too (VERDICT r3 item 1): the dynamic
+    mask reaches the sharded sweep as the ``mask`` argument of ``cv_fn``,
+    which applies it only at the post-all_gather finalize — the collective
+    itself is mask-independent and unconditional, so SPMD partitioning is
+    unaffected; all mask/restart updates are elementwise on replicated
+    state."""
+    return cfg.inplan_blacklist_step > 0 and _learner_enabled(cfg)
 
 
 def _inplan_blacklist(cfg: OMGConfig, problem: PlanProblem, goal_mask,
@@ -228,9 +230,11 @@ def _learner_step(model, cfg, hp, problem: PlanProblem, traj, goal_idx,
     v5e at suite scale), so the gate is a real ``lax.cond`` — steps past
     ``optim_steps`` (the 20 extra smoothing steps of the 50+20 budget) skip
     the work instead of computing-then-masking.  The goal-sharded path
-    (``cv_fn`` from ``parallel/batch.py``) keeps compute-then-mask: its
-    sweep contains collectives, and collectives inside a conditional branch
-    are unsafe under SPMD partitioning.
+    (``cv_fn`` from ``parallel/batch.py``) keeps compute-then-mask when the
+    sweep actually contains collectives (unrestricted full sweep behind an
+    all_gather): collectives inside a conditional branch are unsafe under
+    SPMD partitioning.  With the active-lane restriction the sweep is
+    collective-free on every path, so the cond is safe everywhere.
     """
     do_learn = step < cfg.optim_steps
     if cfg.learner_sweep_every > 1:
@@ -248,7 +252,9 @@ def _learner_step(model, cfg, hp, problem: PlanProblem, traj, goal_idx,
         _, lstate, goal_idx = args
         return lstate, goal_idx
 
-    if cv_fn is not None:
+    sweep_collective = (cv_fn is not None and not ol.sweep_restricted(
+        cfg, problem.goal_set.capacity))
+    if sweep_collective:
         new_lstate, new_goal = run((traj, lstate, goal_idx))
         lstate = jax.tree.map(
             lambda a, b: jnp.where(do_learn, b, a), lstate, new_lstate)
@@ -261,14 +267,16 @@ def _learner_init(model, cfg, hp, problem: PlanProblem, cv_fn):
     online_learner.py:94-102); shared by both loop variants."""
     goal_idx0 = _init_goal_idx(cfg, problem)
     traj0 = problem.traj_init
-    restrict = (cfg.learner_active_goals and cv_fn is None
-                and cfg.learner_active_goals < problem.goal_set.capacity)
+    restrict = ol.sweep_restricted(cfg, problem.goal_set.capacity)
     learner0 = ol.init_learner_state(
         problem.goal_set, cfg.learner_active_goals if restrict else 0)
     if _learner_enabled(cfg):
-        if cv_fn is not None:
-            cv0 = cv_fn(traj0, jnp.asarray(0.0))
+        if cv_fn is not None and not restrict:
+            cv0 = cv_fn(traj0, jnp.asarray(0.0), problem.goal_set.mask)
         else:
+            # restricted init ranks ALL lanes — under sharding this runs
+            # replicated on the gathered goal set (identical to the
+            # single-chip program; no collective needed)
             raw0 = ol.cost_vector_raw(
                 model, problem.scene, problem.cost_params, cfg, hp, traj0,
                 problem.goal_set, jnp.asarray(0.0),
@@ -305,7 +313,7 @@ def plan(model, cfg: OMGConfig, problem: PlanProblem,
 
     traj0, goal_idx0, learner0 = _learner_init(model, cfg, hp, problem, cv_fn)
 
-    use_bl = _blacklist_enabled(cfg, cv_fn)
+    use_bl = _blacklist_enabled(cfg)
 
     def scan_step(carry: _Carry, _):
         # once done, skip the step entirely — lax.cond executes one branch,
@@ -374,7 +382,7 @@ def plan_fast(model, cfg: OMGConfig, problem: PlanProblem,
 
     traj0, goal_idx0, learner0 = _learner_init(model, cfg, hp, problem, cv_fn)
 
-    use_bl = _blacklist_enabled(cfg, cv_fn)
+    use_bl = _blacklist_enabled(cfg)
 
     def cond(carry: _Carry):
         return (~carry.done) & (carry.step < total)

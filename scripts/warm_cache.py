@@ -16,10 +16,11 @@ compiles, VERDICT r2 item 6 / ROADMAP item 4).
 Coverage assertion (``--assert-coverage``): run the warmer in one fresh
 subprocess, then replay the same staging path in a SECOND fresh
 subprocess under a ``jax.monitoring`` compile-duration listener and fail
-if any backend compile >= 1 s fires — a persistent-cache hit skips
-backend compilation entirely, and sub-second programs are below the
+if any backend compile >= ``THRESHOLD_S`` fires — a persistent-cache hit
+skips backend compilation entirely, and short programs are below the
 cache's own ``persistent_cache_min_compile_time_secs`` policy (never
-persisted by design).  CI: ``tests/test_warm_cache.py``.
+persisted by design; see THRESHOLD_S for why the detector sits well
+above that policy).  CI: ``tests/test_warm_cache.py``.
 
 Usage:  python scripts/warm_cache.py [--cpu] [--backend analytic|exact|fused]
         [--scene data/suite_v2/scene_0.npz] [--assert-coverage]
@@ -35,7 +36,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 COMPILE_EVENT = "/jax/core/compile/backend_compile_duration"
-THRESHOLD_S = 1.0  # == default persistent_cache_min_compile_time_secs
+# Detection threshold for the coverage check.  The production programs
+# compile in 5.8-6.8 s cold on this image's CPU while every auxiliary
+# program is <= 0.15 s (measured r4), so 3 s sits in the gap with ~20x
+# headroom: under parallel test load (pytest -n 4) a sub-second program's
+# wall can inflate several-fold and must NOT false-trip the check (the
+# r3 flake), while a genuinely uncovered production program still fires.
+# Programs below the cache's own persistence policy (1 s) are never
+# persisted by design and are exactly the ones that need the headroom.
+THRESHOLD_S = 3.0
 
 
 def _suite_pad(suite_dir, cfg):

@@ -64,6 +64,94 @@ def test_sharded_plan_matches_single_chip():
     assert bool(res.flag[0]) == bool(ref.flag)
 
 
+@pytest.mark.parametrize("active_goals", [0, 4])
+def test_sharded_blacklist_fires_and_matches_single_chip(active_goals):
+    """VERDICT r3 items 1+2: the in-plan blacklist must RUN (and fire) on
+    the goal-sharded path and produce the single-chip trajectory.  The old
+    mesh test used optim_steps=4 < inplan_blacklist_step, so the blacklist
+    could never trip and a statically-disabled sharded blacklist
+    green-lit a divergent production config (MULTICHIP_r03 ok:false).
+
+    ``allow_collision_point=-1`` makes every plan 'failing' at each check
+    step, guaranteeing fires; a small radius keeps the set non-empty so
+    several restarts happen within the budget.  Covers both learner
+    modes: unrestricted (cv_fn collective sweep + dynamic mask at
+    finalize) and active-lane restricted (replicated sweep)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+    from omg_planner_tpu.planner.plan import plan_fast
+
+    cfg = _cfg().replace(
+        optim_steps=6, extra_smooth_steps=2,
+        inplan_blacklist_step=2, inplan_blacklist_every=2,
+        inplan_blacklist_radius=0.05, allow_collision_point=-1,
+        learner_active_goals=active_goals)
+    model, problems = _problems(cfg, 4)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("scene", "goal"))
+    fn = make_sharded_plan(mesh, model, cfg)
+    res = fn(stack_problems(problems))
+
+    ref = jax.jit(plan_fast, static_argnums=(1,))(
+        model, cfg.jit_key(), problems[0])
+    # the blacklist actually fired (this is what the old test couldn't see)
+    assert (np.asarray(ref.goal_mask).sum()
+            < np.asarray(problems[0].goal_set.mask).sum())
+    np.testing.assert_allclose(
+        np.asarray(res.traj)[0], np.asarray(ref.traj), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(res.goal_mask)[0], np.asarray(ref.goal_mask))
+    assert int(res.goal_idx[0]) == int(ref.goal_idx)
+    assert int(res.steps_used[0]) == int(ref.steps_used)
+
+
+def test_solve_goal_set_sharded_two_stage_matches_single():
+    """Two-stage goal-set IK under the goal axis must reproduce the
+    single-chip solve lane-for-lane: replicated prefilter/top-k picks the
+    identical survivor set, the sharded chain syncs its convergence exit,
+    and the gather restores original lane order (VERDICT r3 item 1 —
+    previously the dryrun had to pin ik_two_stage=False)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    import __graft_entry__ as ge
+    from jax.sharding import Mesh, PartitionSpec as P
+    from omg_planner_tpu.ops import ik as ik_ops
+
+    cfg = _cfg().replace(ik_two_stage=True, ik_survivor_cap=18,
+                         ik_prefilter_iters=6, ik_seed_num=3)
+    model, env, problem, grasps_world = ge._tiny_problem(
+        cfg, real_grasps=True)
+    lo, hi = model.soft_limits(cfg.soft_joint_limit_padding)
+    seeds = jnp.asarray(
+        np.tile(np.asarray(problem.start)[None, :7], (3, 1))
+        + 0.2 * np.random.default_rng(1).normal(size=(3, 7)),
+        jnp.float32)
+    gv = jnp.ones(grasps_world.shape[0], bool)
+
+    single = jax.jit(lambda g, s, v: ik_ops.solve_goal_set(
+        model, cfg, g, s, lo[:7], hi[:7], grasp_valid=v))(
+            grasps_world, seeds, gv)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("goal",))
+    shard_fn = jax.jit(jax.shard_map(
+        lambda g, s, v: ik_ops.solve_goal_set(
+            model, cfg, g, s, lo[:7], hi[:7], grasp_valid=v, axis="goal"),
+        mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+        check_vma=False))
+    sharded = shard_fn(grasps_world, seeds, gv)
+
+    for a, b, name in zip(single, sharded,
+                          ("reach", "standoff", "valid", "lane_idx")):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, name
+        if a.dtype == bool or name == "lane_idx":
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        else:
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+    assert np.asarray(single[2]).sum() > 0  # some lanes actually valid
+
+
 def test_pad_objects_disables_dummies():
     cfg = _cfg()
     model, problems = _problems(cfg, 1)
