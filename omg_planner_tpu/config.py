@@ -252,6 +252,21 @@ class OMGConfig:
     inplan_blacklist_step: int = 12
     inplan_blacklist_every: int = 6
     inplan_blacklist_radius: float = 0.5
+    # executable-state snapshot (framework extension; diagnosed r4,
+    # docs/diag_full_budget_r04.json): when a plan runs past an executable
+    # state (collide <= allowance AND smooth < threshold) and ends
+    # NON-executable, return that snapshot instead of the final state.
+    # Forced full-budget optimization UN-SOLVES scenes otherwise: the
+    # multiplicative smoothness boost (x1.02/step, omg/optimizer.py:62-66)
+    # keeps re-weighting the tradeoff, so 14/100 hard-suite plans that
+    # were executable mid-run end with collide 6-59 at step 70 (smooth
+    # never the failing criterion) — success_rate_full_budget 0.84 vs
+    # 0.98 early-term.  The snapshot is selected by jnp.where in-graph
+    # ([T,9] + info in the carry); plans whose final state is executable
+    # (every early-terminated plan) are bit-identical with it on or off.
+    # Parity runs pin False (the reference returns the final state,
+    # omg/planner.py:633-648).  DESIGN §7.
+    exec_snapshot: bool = True
 
     def replace(self, **kw) -> "OMGConfig":
         return dataclasses.replace(self, **kw)

@@ -74,6 +74,13 @@ class _Carry(NamedTuple):
     # this to the restart step so obstacle/smoothness/step-size schedules
     # behave like a fresh plan (the cascade's re-plan gets this for free)
     sched0: jnp.ndarray
+    # executable-state snapshot (cfg.exec_snapshot): last trajectory whose
+    # evaluation satisfied the execute criteria, so a plan that optimizes
+    # PAST an executable state cannot end worse than it (None when off —
+    # jax treats None pytree leaves as empty subtrees, zero carry cost)
+    exec_traj: jnp.ndarray | None = None
+    exec_ok: jnp.ndarray | None = None
+    exec_info: CostInfo | None = None
 
 
 def _chosen_goal(cfg: OMGConfig, goal_set: GoalSet, goal_idx):
@@ -221,6 +228,34 @@ def _blacklist_restart(cfg: OMGConfig, problem: PlanProblem, mask, lstate):
     return new_traj, new_goal, rt
 
 
+def _exec_snapshot_update(cfg: OMGConfig, carry: _Carry, traj, info):
+    """Advance the executable-state snapshot with this step's evaluation
+    (which is AT ``traj``, before the CHOMP update applies — see
+    ``_optimize_once``).  Returns the (exec_traj, exec_ok, exec_info)
+    carry fields."""
+    if not cfg.exec_snapshot:
+        return None, None, None
+    snap = info.execute
+    exec_traj = jnp.where(snap, traj, carry.exec_traj)
+    exec_info = jax.tree.map(
+        lambda n, o: jnp.where(snap, n, o), info, carry.exec_info)
+    return exec_traj, carry.exec_ok | snap, exec_info
+
+
+def _apply_exec_snapshot(cfg: OMGConfig, carry: _Carry, info: CostInfo):
+    """Final selection: a plan that ends NON-executable but ran past an
+    executable state returns that state (cfg.exec_snapshot — fixes the
+    full-budget un-solving regression, docs/diag_full_budget_r04.json).
+    Plans ending executable (every early-terminated plan) are untouched."""
+    if not cfg.exec_snapshot:
+        return carry.traj, info
+    use = carry.exec_ok & ~info.execute
+    traj = jnp.where(use, carry.exec_traj, carry.traj)
+    info = jax.tree.map(
+        lambda s, f: jnp.where(use, s, f), carry.exec_info, info)
+    return traj, info
+
+
 def _learner_step(model, cfg, hp, problem: PlanProblem, traj, goal_idx,
                   lstate, step, cv_fn):
     """Learner update for one plan step, active only while
@@ -334,6 +369,8 @@ def plan(model, cfg: OMGConfig, problem: PlanProblem,
             new_traj, info = _optimize_once(
                 model, cfg, hp, problem, traj, goal_idx,
                 carry.step - carry.sched0)
+            ex_traj, ex_ok, ex_info = _exec_snapshot_update(
+                cfg, carry, traj, info)
 
             fired = info.terminate & (carry.step > 0)
             goal_mask, sched0 = carry.goal_mask, carry.sched0
@@ -353,7 +390,8 @@ def plan(model, cfg: OMGConfig, problem: PlanProblem,
             new_carry = _Carry(
                 traj=traj_out, goal_idx=goal_idx, learner=lstate,
                 step=carry.step + 1, done=fired, last_info=info,
-                goal_mask=goal_mask, sched0=sched0)
+                goal_mask=goal_mask, sched0=sched0,
+                exec_traj=ex_traj, exec_ok=ex_ok, exec_info=ex_info)
             return new_carry, (traj_out, info, goal_idx)
 
         return jax.lax.cond(carry.done, frozen, live, carry)
@@ -361,13 +399,18 @@ def plan(model, cfg: OMGConfig, problem: PlanProblem,
     info0 = _dummy_info(cfg)
     carry0 = _Carry(traj0, goal_idx0, learner0, jnp.asarray(0),
                     jnp.asarray(False), info0, problem.goal_set.mask,
-                    jnp.asarray(0))
+                    jnp.asarray(0),
+                    exec_traj=traj0 if cfg.exec_snapshot else None,
+                    exec_ok=(jnp.asarray(False) if cfg.exec_snapshot
+                             else None),
+                    exec_info=info0 if cfg.exec_snapshot else None)
     carry, (history, info_hist, selected) = jax.lax.scan(
         scan_step, carry0, None, length=total)
 
     info = _final_info(model, cfg, hp, problem, carry)
+    traj_out, info = _apply_exec_snapshot(cfg, carry, info)
     return PlanResult(
-        traj=carry.traj, goal_idx=carry.goal_idx, info=info,
+        traj=traj_out, goal_idx=carry.goal_idx, info=info,
         info_history=info_hist, history=history, selected_goals=selected,
         steps_used=carry.step, flag=info.terminate,
         goal_mask=carry.goal_mask)
@@ -398,6 +441,8 @@ def plan_fast(model, cfg: OMGConfig, problem: PlanProblem,
         new_traj, info = _optimize_once(
             model, cfg, hp, problem, traj, goal_idx,
             carry.step - carry.sched0)
+        ex_traj, ex_ok, ex_info = _exec_snapshot_update(
+            cfg, carry, traj, info)
         fired = info.terminate & (carry.step > 0)
         goal_mask, sched0 = carry.goal_mask, carry.sched0
         if use_bl:
@@ -415,17 +460,24 @@ def plan_fast(model, cfg: OMGConfig, problem: PlanProblem,
             traj=jnp.where(fired, traj, new_traj),
             goal_idx=goal_idx, learner=lstate,
             step=carry.step + 1, done=fired, last_info=info,
-            goal_mask=goal_mask, sched0=sched0)
+            goal_mask=goal_mask, sched0=sched0,
+            exec_traj=ex_traj, exec_ok=ex_ok, exec_info=ex_info)
 
     carry0 = _Carry(traj0, goal_idx0, learner0, jnp.asarray(0),
                     jnp.asarray(False), _dummy_info(cfg),
-                    problem.goal_set.mask, jnp.asarray(0))
+                    problem.goal_set.mask, jnp.asarray(0),
+                    exec_traj=traj0 if cfg.exec_snapshot else None,
+                    exec_ok=(jnp.asarray(False) if cfg.exec_snapshot
+                             else None),
+                    exec_info=_dummy_info(cfg) if cfg.exec_snapshot
+                    else None)
     carry = jax.lax.while_loop(cond, body, carry0)
     info = _final_info(model, cfg, hp, problem, carry)
+    traj_out, info = _apply_exec_snapshot(cfg, carry, info)
     return PlanResult(
-        traj=carry.traj, goal_idx=carry.goal_idx, info=info,
+        traj=traj_out, goal_idx=carry.goal_idx, info=info,
         info_history=info,
-        history=carry.traj[None],
+        history=traj_out[None],
         selected_goals=carry.goal_idx[None],
         steps_used=carry.step, flag=info.terminate,
         goal_mask=carry.goal_mask)

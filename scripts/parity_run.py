@@ -34,6 +34,8 @@ same goal within ``--tol-goal`` + pointwise trajectory agreement within
 
 Usage:
   python scripts/parity_run.py prepare  [--n-scenes 6]
+  python scripts/parity_run.py prepare-suite --ws .parity_suite_ws \
+      --n-scenes 30        # export pinned suite_v2 scenes instead
   python scripts/parity_run.py record-ref
   python scripts/parity_run.py record-ours
   python scripts/parity_run.py compare
@@ -85,6 +87,9 @@ def _ours_cfg():
         # no in-plan blacklist restarts: the reference plans once and
         # reports FAIL (omg/planner.py:600-653)
         inplan_blacklist_step=0,
+        # the reference returns the FINAL trajectory, never a mid-run
+        # executable snapshot (omg/planner.py:633-648)
+        exec_snapshot=False,
     )
 
 
@@ -135,6 +140,97 @@ def prepare(args):
     log(f"workspace ready: {ws} ({len(kept)} scenes)")
 
 
+def prepare_suite(args):
+    """Export the first ``--n-scenes`` pinned hard-suite scenes
+    (``data/suite_v2``) into the reference-format workspace and bake
+    per-scene precomputed goal sets (VERDICT r3 item 6: scale trajectory
+    parity toward the north star's full-suite coverage).
+
+    Geometry dirs are deduped across scenes (482 unique primitives over
+    the 100-scene suite) and per-scene object NAMES stay unique via
+    symlinked dirs — the reference keys ``Env`` objects and the
+    ``target_name`` lookup by directory basename (``omg/core.py:258-278``).
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import scipy.io as sio
+
+    from omg_planner_tpu.io import ref_fixtures, ref_shims
+    from omg_planner_tpu.io.assets import synthetic_grasp_db
+    from omg_planner_tpu.io.reference_data import env_from_mat_scene
+    from omg_planner_tpu.io.scene_io import load_npz_scene
+    from omg_planner_tpu.planner.scene import PlanningScene
+
+    ws = os.path.abspath(args.ws)
+    ref_shims.build_ref_workspace(ws)
+    objs = os.path.join(ws, "data", "objects")
+    grasps = os.path.join(ws, "data", "grasps", "simulated")
+    scenes_dir = os.path.join(ws, "data", "scenes")
+    for d in (objs, grasps, scenes_dir):
+        os.makedirs(d, exist_ok=True)
+
+    suite = os.path.join(REPO, "data", "suite_v2")
+    geo_dirs = {}  # (kind, extents, delta) -> shared geometry dir name
+
+    def geometry_dir(kind, ext, delta):
+        key = (kind, tuple(np.round(ext, 5)), round(float(delta), 5))
+        if key not in geo_dirs:
+            gname = f"suitegeo_{len(geo_dirs):03d}"
+            ref_fixtures.write_object_dir(
+                os.path.join(objs, gname), kind, ext, delta=float(delta))
+            geo_dirs[key] = gname
+        return geo_dirs[key]
+
+    cfg = _ours_cfg()
+    model = _parity_model()
+    mats = []
+    for sid in range(args.n_scenes):
+        d = load_npz_scene(os.path.join(suite, f"scene_{sid}.npz"))
+        rels, poses = [], []
+        for kind, ext, pose, nm, dl in zip(
+                d["kinds"], d["extents"], d["poses"], d["names"],
+                d["deltas"]):
+            kind, nm = str(kind), str(nm)
+            ext = np.trim_zeros(np.asarray(ext, np.float64), "b")
+            gname = geometry_dir(kind, ext, dl)
+            # unique per-scene object name -> symlink to the shared dir
+            oname = f"s{sid}_{nm}"
+            link = os.path.join(objs, oname)
+            if not os.path.islink(link) and not os.path.exists(link):
+                os.symlink(gname, link)
+            if nm == d["target_name"]:
+                ref_fixtures.write_grasp_db(
+                    os.path.join(grasps, f"{oname}.npy"),
+                    synthetic_grasp_db(kind, ext))
+            rels.append(f"data/objects/{oname}")
+            poses.append(np.asarray(pose, np.float64))
+        mat = os.path.join(scenes_dir, f"parity_scene_suite{sid:03d}.mat")
+        ref_fixtures.write_mat_scene(
+            mat, rels, np.stack(poses),
+            target_name=f"s{sid}_{d['target_name']}")
+
+        # bake OUR goal set so both planners consume the identical set
+        env, _ = env_from_mat_scene(cfg, mat, ws, model=model,
+                                    penalize=False)
+        ps = PlanningScene(cfg, env)
+        gs = ps.build_goal_set()
+        mask = np.asarray(gs.mask)
+        goals = np.asarray(gs.grasps)[mask]
+        if len(goals) < 3:
+            log(f"scene {sid}: only {len(goals)} goals, dropping")
+            os.remove(mat)
+            continue
+        md = sio.loadmat(mat)
+        md["goals"] = goals.astype(np.float64)
+        md["reach_grasps"] = np.zeros((len(goals), cfg.reach_tail_length, 9))
+        sio.savemat(mat, md)
+        mats.append(mat)
+        log(f"scene {sid}: exported ({len(goals)} goals baked)")
+    log(f"suite workspace ready: {ws} ({len(mats)} scenes, "
+        f"{len(geo_dirs)} shared geometries)")
+
+
 def record_ref(args):
     from omg_planner_tpu.io import ref_shims
 
@@ -153,8 +249,11 @@ def record_ref(args):
         t0 = time.time()
         scene = RefScene(ref_config.cfg)
         scene.reset()
+        t_init = time.time() - t0
+        t0 = time.time()
         info = scene.step()
-        wall = time.time() - t0
+        t_plan = time.time() - t0
+        wall = t_init + t_plan
         hist = np.stack(scene.planner.history_trajectories)
         np.savez(
             os.path.join(out, f"ref_{name}.npz"),
@@ -165,9 +264,9 @@ def record_ref(args):
             collide=float(info[-1]["collide"]),
             smooth=float(info[-1]["smooth"]),
             goals=np.asarray(scene.traj.goal_set),
-            wall=wall)
+            wall=wall, wall_init=t_init, wall_plan=t_plan)
         log(f"{name}: ref flag={bool(info[-1]['terminate'])} "
-            f"steps={len(info)} wall={wall:.1f}s")
+            f"steps={len(info)} init={t_init:.1f}s plan={t_plan:.1f}s")
 
 
 def record_ours(args):
@@ -277,7 +376,8 @@ def compare(args):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["prepare", "record-ours", "record-ref",
+    ap.add_argument("mode", choices=["prepare", "prepare-suite",
+                                     "record-ours", "record-ref",
                                      "compare"])
     ap.add_argument("--reference", default="/root/reference")
     ap.add_argument("--ws", default=os.path.join(REPO, ".parity_ws"))
@@ -285,7 +385,8 @@ def main():
     ap.add_argument("--tol-traj", type=float, default=0.15)
     ap.add_argument("--tol-goal", type=float, default=0.05)
     args = ap.parse_args()
-    {"prepare": prepare, "record-ours": record_ours,
+    {"prepare": prepare, "prepare-suite": prepare_suite,
+     "record-ours": record_ours,
      "record-ref": record_ref, "compare": compare}[args.mode](args)
 
 
