@@ -204,7 +204,8 @@ def main():
             for _sid, _sc, _res, _dt in plan_pipelined(
                     list(enumerate(scenes)), cfg, model=model,
                     depth=8 if args.backend == "analytic" else 3,
-                    pad_to=pad_to, max_obj=max_obj):
+                    pad_to=pad_to, max_obj=max_obj,
+                    build_batch=4 if args.backend == "analytic" else 0):
                 k += 1
             return k / (time.time() - t0)
 
@@ -286,11 +287,25 @@ def main():
                  if full_walls else None)
 
     baseline_rate = 1.0 / 3.0  # reference per-plan budget (config.py:130)
+    # measured reference baseline (VERDICT r3 item 5): the ACTUAL reference
+    # executed in-image on 30 exported hard-suite scenes via ref_shims
+    # (CPU + numpy-kernel caveats recorded in the artifact); median-wall
+    # basis.  Kept as a recorded artifact — bench must not re-run the
+    # reference on every TPU benchmark invocation.
+    measured_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "docs", "ref_baseline_measured.json")
+    vs_measured = None
+    if os.path.exists(measured_path):
+        with open(measured_path) as f:
+            measured = json.load(f)
+        vs_measured = round(
+            early_rate / measured["plans_per_s_median_basis"], 1)
     out = {
         "metric": "plans_per_second_per_chip",
         "value": round(early_rate, 3),
         "unit": "plans/s",
         "vs_baseline": round(early_rate / baseline_rate, 2),
+        "vs_baseline_measured": vs_measured,
         "suite": "data/suite_v2 (pinned hard suite)",
         "n_scenes": n,
         "backend": args.backend,

@@ -89,6 +89,12 @@ class PandaModel(NamedTuple):
         if hit is None:
             lo = self.joint_lower.at[:7].add(padding)
             hi = self.joint_upper.at[:7].add(-padding)
+            if isinstance(lo, jax.core.Tracer):
+                # under omnistaging EVERY op inside a trace stages, even on
+                # concrete operands — caching a trace-local tracer under a
+                # concrete-id key leaks it into the next transform
+                # (UnexpectedTracerError in the second jit to call this)
+                return lo, hi
             hit = (self.joint_lower, self.joint_upper, lo, hi)
             _SOFT_LIMITS_CACHE[key] = hit
         return hit[2], hit[3]

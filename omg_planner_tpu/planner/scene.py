@@ -312,6 +312,35 @@ def _goal_set_fn(cfg: OMGConfig, attached: bool, z_up: bool, y_up: bool):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=16)
+def _goal_set_batch_fn(cfg: OMGConfig, attached: bool, z_up: bool,
+                       y_up: bool):
+    """Vmapped :func:`_goal_set_fn` over a stacked scene batch, with a
+    per-scene grasp-validity mask so scenes with different grasp-DB sizes
+    pad to one static shape.  Measured 1.58x device-time win over
+    per-scene builds on the v5e (docs/probe_vmap_build_r04.json) — unlike
+    vmapped PLANS, which lose 5.7x (docs/probe_vmap_r04.json): the build
+    is fixed-iteration batched Newton with no early-exit lockstep to
+    forfeit.  Used by ``runner.prebuild_goal_sets``."""
+
+    def f(model, scene_sdf, params, poses, valid, start, key, obj_pos):
+        if z_up:
+            bins = 50
+            poses = gs.z_upsample_poses(poses, obj_pos, bins=bins)
+            valid = jnp.repeat(valid, bins)
+        if y_up:
+            bins = 10
+            poses = gs.y_upsample_poses(poses, bins=bins)
+            valid = jnp.repeat(valid, bins)
+        goal_set = gs.build_goal_set(model, cfg, scene_sdf, params, poses,
+                                     valid, start, key, attached=attached)
+        gi = gs.goal_idx_policy(cfg, goal_set, start)
+        end = goal_set.grasps[gi]
+        return goal_set, end, plan_mod.init_trajectory(cfg, start, end)
+
+    return jax.jit(jax.vmap(f, in_axes=(None, 0, 0, 0, 0, 0, 0, 0)))
+
+
 class PlanningScene:
     """Session owning an Env + jitted planner (reference ``PlanningScene``,
     ``omg/core.py:459-779``, minus the GL renderer)."""

@@ -152,6 +152,33 @@ def test_solve_goal_set_sharded_two_stage_matches_single():
     assert np.asarray(single[2]).sum() > 0  # some lanes actually valid
 
 
+def test_prebuilt_batched_goal_sets_match_streamed_pipeline():
+    """plan_pipelined(build_batch=N) must yield the same plans as the
+    per-scene-build pipeline: the vmapped wave build (the measured 1.58x
+    device-time win, docs/probe_vmap_build_r04.json) is a staging
+    optimization, not a semantics change."""
+    from omg_planner_tpu.planner.runner import plan_pipelined
+    from omg_planner_tpu.planner.scene import PlanningScene
+
+    cfg = OMGConfig(silent=True, optim_steps=8, extra_smooth_steps=3,
+                    goal_set_max_num=10, ik_seed_num=2, ik_max_iters=25,
+                    learner_interp_steps=8, sdf_analytic=True)
+
+    def run(build_batch):
+        scenes = [(sid, PlanningScene.synthetic(cfg, scene_id=sid,
+                                                n_obstacles=2))
+                  for sid in (0, 3, 5)]
+        return [np.asarray(res.traj)
+                for _sid, _sc, res, _dt in plan_pipelined(
+                    scenes, cfg, depth=2, build_batch=build_batch)]
+
+    plain = run(0)
+    batched = run(2)  # wave of 2 + padded tail wave
+    assert len(plain) == len(batched) == 3
+    for a, b in zip(plain, batched):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_pad_objects_disables_dummies():
     cfg = _cfg()
     model, problems = _problems(cfg, 1)
