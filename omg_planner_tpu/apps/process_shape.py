@@ -25,12 +25,34 @@ def main(argv=None):
                     help="SDF cells across the largest extent "
                          "(reference gen_sdf.py:39-56 sizing)")
     ap.add_argument("--padding", type=int, default=20)
+    ap.add_argument("--repair", action="store_true",
+                    help="topology repair first (merge doubles + coherent "
+                         "outward winding — the geometry part of the "
+                         "reference's blender step, "
+                         "real_world/blender_process.py:53-63); writes "
+                         "<base>.processed.obj and processes that")
     args = ap.parse_args(argv)
+
+    mesh_path = args.file
+    if args.all or args.repair:
+        import os
+
+        from ..io.meshrepair import repair_mesh, save_obj
+        from ..io.meshsdf import load_obj
+
+        verts, faces = load_obj(mesh_path)
+        verts, faces, stats = repair_mesh(verts, faces)
+        base, _ = os.path.splitext(mesh_path)
+        mesh_path = base + ".processed.obj"
+        save_obj(mesh_path, verts, faces)
+        print(f"repair: verts {stats['verts_in']}->{stats['verts_out']} "
+              f"faces {stats['faces_in']}->{stats['faces_out']} "
+              f"-> {mesh_path}")
 
     from ..io.meshsdf import process_mesh
 
     sdf, pts, extents = process_mesh(
-        args.file, out_dir=args.out, convex=args.all or args.convex,
+        mesh_path, out_dir=args.out, convex=args.all or args.convex,
         target_dim=args.target_dim, padding=args.padding)
     print(f"sdf {sdf.data.shape} delta {sdf.delta:.4f} "
           f"origin {sdf.origin.tolist()} | {len(pts)} surface points | "
