@@ -201,11 +201,14 @@ def main():
         def pipelined():
             t0 = time.time()
             k = 0
+            # build_batch pinned 0: the vmapped build waves win 1.58x
+            # device time per build but the warm e2e A/B is within tunnel
+            # variance while the batched program's COLD compile (~146 s)
+            # poisons a one-shot bench (docs/probe_vmap_build_r04.json)
             for _sid, _sc, _res, _dt in plan_pipelined(
                     list(enumerate(scenes)), cfg, model=model,
                     depth=8 if args.backend == "analytic" else 3,
-                    pad_to=pad_to, max_obj=max_obj,
-                    build_batch=4 if args.backend == "analytic" else 0):
+                    pad_to=pad_to, max_obj=max_obj):
                 k += 1
             return k / (time.time() - t0)
 
