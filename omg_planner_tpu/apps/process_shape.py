@@ -29,30 +29,15 @@ def main(argv=None):
                     help="topology repair first (merge doubles + coherent "
                          "outward winding — the geometry part of the "
                          "reference's blender step, "
-                         "real_world/blender_process.py:53-63); writes "
-                         "<base>.processed.obj and processes that")
+                         "real_world/blender_process.py:53-63); also "
+                         "writes <base>.processed.obj")
     args = ap.parse_args(argv)
-
-    mesh_path = args.file
-    if args.all or args.repair:
-        import os
-
-        from ..io.meshrepair import repair_mesh, save_obj
-        from ..io.meshsdf import load_obj
-
-        verts, faces = load_obj(mesh_path)
-        verts, faces, stats = repair_mesh(verts, faces)
-        base, _ = os.path.splitext(mesh_path)
-        mesh_path = base + ".processed.obj"
-        save_obj(mesh_path, verts, faces)
-        print(f"repair: verts {stats['verts_in']}->{stats['verts_out']} "
-              f"faces {stats['faces_in']}->{stats['faces_out']} "
-              f"-> {mesh_path}")
 
     from ..io.meshsdf import process_mesh
 
     sdf, pts, extents = process_mesh(
-        mesh_path, out_dir=args.out, convex=args.all or args.convex,
+        args.file, out_dir=args.out, convex=args.all or args.convex,
+        repair=args.all or args.repair,
         target_dim=args.target_dim, padding=args.padding)
     print(f"sdf {sdf.data.shape} delta {sdf.delta:.4f} "
           f"origin {sdf.origin.tolist()} | {len(pts)} surface points | "

@@ -150,7 +150,13 @@ class OMGConfig:
     # §3c step decomposition) while the chosen goal rarely changes
     # between adjacent steps; k>1 skips the sweep (a real lax.cond, so
     # skipped steps pay nothing) and holds the previous goal.
-    learner_sweep_every: int = 1
+    # Default 2 after a repeated suite A/B (scripts/probe_sweep_every,
+    # r4, warm v5e, two passes each): 31.0/31.3 -> 32.7/33.5 plans/s
+    # early-term, p50 31.5 -> 29.3 ms, success identical at 0.98, mean
+    # steps 15.3 -> 14.4 (holding the goal an extra step converges
+    # slightly FASTER — per-step re-targeting churns the projection
+    # endpoint).  Parity runs pin 1 (scripts/parity_run.py::_ours_cfg).
+    learner_sweep_every: int = 2
     # honor PlanProblem.traj_init as the optimization's starting trajectory
     # even when the learner is enabled (skip the learner-init respline,
     # online_learner.py:94-102) — set automatically by

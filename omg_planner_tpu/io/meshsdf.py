@@ -173,12 +173,24 @@ def save_compound_obj(path: str, boxes: np.ndarray):
 
 
 def process_mesh(path: str, out_dir: str | None = None,
-                 convex: bool = False, **kw):
+                 convex: bool = False, repair: bool = False, **kw):
     """Full per-mesh asset generation (reference ``process_shape.py:86-179``):
     SDF volume + surface points + extents, persisted next to the mesh;
     ``convex=True`` additionally writes ``<base>_convex.obj`` piece hulls
-    (the VHACD step of the reference pipeline)."""
+    (the VHACD step of the reference pipeline); ``repair=True`` runs
+    topology repair first (the blender step, ``io/meshrepair.py``) and
+    also writes ``<base>.processed.obj`` like
+    ``real_world/blender_process.py:21`` — downstream outputs keep the
+    ORIGINAL base name."""
     verts, faces = load_obj(path)
+    if repair:
+        from .meshrepair import repair_mesh, save_obj
+
+        verts, faces, stats = repair_mesh(verts, faces)
+        save_obj(os.path.splitext(path)[0] + ".processed.obj", verts,
+                 faces)
+        print(f"repair: verts {stats['verts_in']}->{stats['verts_out']} "
+              f"faces {stats['faces_in']}->{stats['faces_out']}")
     sdf = mesh_to_sdf(verts, faces, **kw)
     pts = surface_points(verts, faces)
     extents = verts.max(0) - verts.min(0)

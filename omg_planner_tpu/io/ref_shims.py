@@ -467,7 +467,14 @@ def install(reference: str = REFERENCE) -> None:
     urdf_pkg, urdf_mod = _make_urdf_parser()
     fakes = {
         "easydict": _module("easydict", EasyDict=_EasyDict),
-        "IPython": _module("IPython", embed=lambda *a, **k: None),
+        # get_ipython: matplotlib probes any sys.modules["IPython"] entry
+        # for it (pyplot.py REPL-hook detection) — returning None keeps it
+        # on the plain displayhook instead of AttributeError-ing every
+        # later matplotlib user in the same process (xdist workers run
+        # shimmed and unshimmed tests back to back)
+        "IPython": _module("IPython", embed=lambda *a, **k: None,
+                           get_ipython=lambda *a, **k: None,
+                           version_info=(99, 0, 0)),
         "transforms3d": t3d,
         "transforms3d.quaternions": t3d_q,
         "transforms3d.euler": t3d_e,

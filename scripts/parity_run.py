@@ -79,6 +79,7 @@ def _ours_cfg():
         use_standoff=False,           # scene-goal mode (planner.py:161-162)
         ref_topk_quirks=True,         # reference top-k accumulation quirks
         learner_active_goals=0,       # reference sweeps ALL candidates
+        learner_sweep_every=1,        # reference sweeps EVERY step
         # goal-set build at the reference's full IK budget: the perf caps
         # (two-stage survivor cap / chain budget) are OUR heuristics and
         # shift which near-duplicate grasps survive, which flips

@@ -29,7 +29,7 @@ for s in scenes:
 jax.block_until_ready(probs[-1])
 print(f"{N} scenes staged", flush=True)
 
-for k in (1, 2, 3):
+for k in (1, 2, 1, 2):
     cfg = base.replace(learner_sweep_every=k)
     r = plan_one(model, cfg.jit_key(), probs[0])
     jax.block_until_ready(r.traj)  # compile

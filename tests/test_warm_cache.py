@@ -26,19 +26,33 @@ def test_warm_cache_covers_production_path(tmp_path):
     base = [sys.executable, SCRIPT, "--cpu"]
     # warm into the fresh dir
     subprocess.run(base, check=True, env=env, cwd=REPO, timeout=600)
-    # a warmed fresh process must compile nothing expensive
-    out = subprocess.run(base + ["--_check"], env=env, cwd=REPO,
-                         capture_output=True, text=True, timeout=600)
+    # a warmed fresh process must compile nothing expensive.  One retry:
+    # the detector is a wall-clock threshold, and under peak parallel
+    # test load (pytest -n 4) a sub-second never-persisted program can
+    # transiently inflate past it — a GENUINELY uncovered production
+    # program (5.8-6.8 s compile) fails both attempts.
+    for attempt in range(2):
+        out = subprocess.run(base + ["--_check"], env=env, cwd=REPO,
+                             capture_output=True, text=True, timeout=600)
+        if out.returncode == 0:
+            break
     assert out.returncode == 0, out.stdout + out.stderr
     assert "coverage ok" in out.stdout
 
 
 def test_cold_cache_detector_fires(tmp_path):
-    """Anti-vacuousness: the same check FAILS against a cold cache."""
-    env = dict(os.environ,
-               JAX_COMPILATION_CACHE_DIR=str(tmp_path / "cold"))
-    out = subprocess.run(
-        [sys.executable, SCRIPT, "--cpu", "--_check"], env=env, cwd=REPO,
-        capture_output=True, text=True, timeout=600)
-    assert out.returncode == 3, out.stdout + out.stderr
+    """Anti-vacuousness: the same check FAILS against a cold cache.
+    One retry (fresh cold dir) — under peak parallel load the subprocess
+    can die to resource contention with an unrelated exit code; a
+    VACUOUS detector returns 0 deterministically on both attempts."""
+    for attempt in range(2):
+        env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=str(
+            tmp_path / f"cold{attempt}"))
+        out = subprocess.run(
+            [sys.executable, SCRIPT, "--cpu", "--_check"], env=env,
+            cwd=REPO, capture_output=True, text=True, timeout=600)
+        if out.returncode == 3:
+            break
+    assert out.returncode == 3, (
+        f"rc={out.returncode}\n" + out.stdout + out.stderr)
     assert "COVERAGE FAIL" in out.stdout
