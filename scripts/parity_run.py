@@ -246,6 +246,9 @@ def record_ref(args):
 
     for mat in _scene_mats(ws):
         name = os.path.splitext(os.path.basename(mat))[0]
+        if args.skip_existing and os.path.exists(
+                os.path.join(out, f"ref_{name}.npz")):
+            continue
         ref_shims.configure_reference(ws, scene_file=name)
         t0 = time.time()
         scene = RefScene(ref_config.cfg)
@@ -285,6 +288,9 @@ def record_ours(args):
     model = _parity_model()
     for mat in _scene_mats(ws):
         name = os.path.splitext(os.path.basename(mat))[0]
+        if args.skip_existing and os.path.exists(
+                os.path.join(out, f"ours_{name}.npz")):
+            continue
         scene_dict = load_mat_scene(mat)
         env, _ = env_from_mat_scene(cfg, mat, ws, model=model,
                                     penalize=False)
@@ -383,6 +389,9 @@ def main():
     ap.add_argument("--reference", default="/root/reference")
     ap.add_argument("--ws", default=os.path.join(REPO, ".parity_ws"))
     ap.add_argument("--n-scenes", type=int, default=6)
+    ap.add_argument("--skip-existing", action="store_true",
+                    help="record modes: skip scenes with an existing record "
+                         "(resume after a partial run)")
     ap.add_argument("--tol-traj", type=float, default=0.15)
     ap.add_argument("--tol-goal", type=float, default=0.05)
     args = ap.parse_args()
