@@ -1,0 +1,597 @@
+"""Single-dynamic-body rigid physics: SDF contacts + projected impulses.
+
+Role parity: the reference's integration test is open-loop execution in
+PyBullet (``bullet/panda_scene.py:450-465`` steps the world,
+``:486-504`` scores the lift).  This module is the TPU-native stepper
+behind :mod:`omg_planner_tpu.physics.executor`: the grasp target is the
+one dynamic body (6-DOF), everything else — scene objects, table, the
+position-controlled robot — is kinematic, exactly the regime the
+harness's reward exercises (nothing in the reference's reward depends on
+obstacle dynamics; objects other than the target only matter as
+collision geometry).
+
+TPU-first design decisions (vs translating a Bullet-style engine):
+
+* **SDF contact generation, not convex pair tests.**  Two fixed-shape
+  batched queries per substep: robot collision-point spheres against the
+  target's analytic SDF, and target surface samples against every static
+  primitive's SDF (closed-form gradients give contact normals).  No
+  broad-phase, no shape-pair dispatch, no dynamic contact lists — XLA
+  sees two dense elementwise pipelines plus a ``top_k`` compaction to a
+  static contact count.
+* **Projected-Jacobi impulse solver.**  Per iteration every contact
+  computes its impulse correction in parallel from the same (v, w),
+  accumulators are clamped (normal >= 0, friction inside the Coulomb
+  disc), and the relaxed sum is applied — a ``fori_loop`` of vector ops
+  instead of Bullet's sequential Gauss-Seidel sweep (a 100+-step scalar
+  scan per substep would serialize the whole chip).  With one dynamic
+  body and <=64 contacts, relaxed Jacobi converges in ~16 iterations.
+* **Position-control emulation by penetration-bias clamping.**  Fingers
+  replay a precomputed kinematic track; the Baumgarte bias is capped
+  (``v_depen_max``) so deep kinematic squeeze yields bounded steady
+  contact force, the same observable behavior as PyBullet's
+  position-control ``maxForce`` stall without simulating actuator DOFs.
+* **The whole rollout is one ``lax.scan``** over substeps (static trip
+  count), so a plan executes as a single device program — and vmaps over
+  a batch of plans.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.sdf import _analytic_sdf_grad
+from ..utils.pose import quat_to_mat
+
+
+class PhysParams(NamedTuple):
+    """Solver constants (a pytree of scalars; changing values does not
+    recompile)."""
+
+    dt: jnp.ndarray             # substep, s
+    mu: jnp.ndarray             # Coulomb friction coefficient
+    beta: jnp.ndarray           # position-projection factor (pseudo pass)
+    slop: jnp.ndarray           # penetration allowance, m
+    v_depen_max: jnp.ndarray    # position-projection velocity cap, m/s
+    damp_lin: jnp.ndarray       # linear velocity damping, 1/s
+    damp_ang: jnp.ndarray       # angular velocity damping, 1/s
+    sphere_radius: jnp.ndarray  # robot collision-point contact radius, m
+    pinch_force: jnp.ndarray    # finger motor stall force, N
+    gravity: jnp.ndarray        # [3]
+
+
+def default_params(dt: float = 1.0 / 240.0) -> PhysParams:
+    f = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+    return PhysParams(
+        dt=f(dt), mu=f(0.8), beta=f(0.2), slop=f(5e-4), v_depen_max=f(0.05),
+        damp_lin=f(0.3), damp_ang=f(0.6), sphere_radius=f(0.006),
+        pinch_force=f(20.0),
+        gravity=jnp.asarray([0.0, 0.0, -9.81], jnp.float32))
+
+
+class RigidBodySpec(NamedTuple):
+    """The dynamic target body: analytic primitive + mass properties +
+    body-frame surface samples (contact candidates against statics)."""
+
+    kind: jnp.ndarray        # [] int32 (0 box, 1 sphere, 2 cylinder)
+    half: jnp.ndarray        # [3]
+    round: jnp.ndarray       # [] edge rounding for stable contact normals
+    inv_mass: jnp.ndarray    # []
+    inv_inertia: jnp.ndarray  # [3, 3] body frame
+    surf: jnp.ndarray        # [S, 3] body-frame surface samples
+
+
+class StaticWorld(NamedTuple):
+    """Kinematic scene colliders (analytic primitives, target excluded)."""
+
+    kinds: jnp.ndarray      # [O] int32
+    halfs: jnp.ndarray      # [O, 3]
+    rounds: jnp.ndarray     # [O]
+    inv_poses: jnp.ndarray  # [O, 4, 4] world -> object
+    mask: jnp.ndarray       # [O] 1 = active collider
+
+
+class BodyState(NamedTuple):
+    x: jnp.ndarray  # [3] position
+    q: jnp.ndarray  # [4] wxyz orientation
+    v: jnp.ndarray  # [3] linear velocity
+    w: jnp.ndarray  # [3] angular velocity (world frame)
+
+
+class Contacts(NamedTuple):
+    """Fixed-size compacted contact set (masked)."""
+
+    p: jnp.ndarray        # [C, 3] world contact point
+    n: jnp.ndarray        # [C, 3] impulse direction on the body (unit)
+    pen: jnp.ndarray      # [C] penetration depth (>= 0 where active)
+    v_other: jnp.ndarray  # [C, 3] kinematic collider velocity at contact
+    active: jnp.ndarray   # [C] float mask
+    finger: jnp.ndarray   # [C] 1 = finger-pad contact (gets motor floor)
+    src: jnp.ndarray      # [C] source index in the candidate pool (warm
+    #                       start identity across substeps)
+
+
+def _primitive_mass_inertia(kind: int, half, density: float):
+    """Closed-form solid mass + body-frame inertia for the 3 primitives."""
+    a, b, c = [float(h) for h in half]
+    if kind == 0:     # box, half extents a,b,c
+        vol = 8.0 * a * b * c
+        m = vol * density
+        ix = m / 3.0 * (b * b + c * c)
+        iy = m / 3.0 * (a * a + c * c)
+        iz = m / 3.0 * (a * a + b * b)
+    elif kind == 1:   # sphere radius a
+        vol = 4.0 / 3.0 * np.pi * a ** 3
+        m = vol * density
+        ix = iy = iz = 0.4 * m * a * a
+    else:             # cylinder radius a, half-height c (axis z)
+        h = 2.0 * c
+        vol = np.pi * a * a * h
+        m = vol * density
+        ix = iy = m * (3.0 * a * a + h * h) / 12.0
+        iz = 0.5 * m * a * a
+    return m, np.diag([ix, iy, iz])
+
+
+def body_spec_from_primitive(kind: int, half, surf_pts: np.ndarray,
+                             density: float = 300.0,
+                             n_surf: int = 96,
+                             round_r: float = 0.004) -> RigidBodySpec:
+    """Build the dynamic-body spec from a scene primitive.
+
+    ``half`` is the analytic SDF's half-extent triple (``sdf.analytic[1]``
+    — box: half extents; sphere: radius; cylinder: radius/radius/half
+    height), so the physics body is EXACTLY the collision geometry the
+    planner optimized against.  ``surf_pts`` is the object's surface
+    cloud (``SceneObject.points``, the analogue of the reference Model's
+    500-point cloud, ``omg/core.py:120-140``); a deterministic stride
+    subsample keeps the contact query a fixed small batch.  ``density``
+    defaults to a light tabletop object (~YCB mass scale).
+    """
+    half = np.asarray(half, np.float32).ravel()[:3]
+    m, inertia = _primitive_mass_inertia(kind, half, density)
+    pts = np.asarray(surf_pts, np.float32)
+    stride = max(len(pts) // n_surf, 1)
+    pts = pts[::stride][:n_surf]
+    if len(pts) < n_surf:  # pad by repetition (static shape)
+        pts = np.concatenate(
+            [pts, pts[np.arange(n_surf - len(pts)) % len(pts)]])
+    return RigidBodySpec(
+        kind=jnp.asarray(kind, jnp.int32),
+        half=jnp.asarray(half, jnp.float32),
+        round=jnp.asarray(round_r, jnp.float32),
+        inv_mass=jnp.asarray(1.0 / m, jnp.float32),
+        inv_inertia=jnp.asarray(np.linalg.inv(inertia), jnp.float32),
+        surf=jnp.asarray(pts, jnp.float32))
+
+
+def _quat_integrate(q, w, dt):
+    wq = jnp.concatenate([jnp.zeros((1,), q.dtype), w])
+    # quaternion product wq * q (w,x,y,z)
+    w1, x1, y1, z1 = wq
+    w2, x2, y2, z2 = q
+    dq = jnp.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+    qn = q + 0.5 * dt * dq
+    return qn / jnp.maximum(jnp.linalg.norm(qn), 1e-9)
+
+
+def _topk_contacts(p, n, pen, v_other, active, finger, k):
+    """Compact a candidate set to the k deepest active contacts."""
+    score = jnp.where(active > 0.5, pen, -jnp.inf)
+    _, idx = jax.lax.top_k(score, min(k, score.shape[0]))
+    take = lambda a: a[idx]  # noqa: E731
+    act = (take(score) > -jnp.inf).astype(jnp.float32)
+    return Contacts(p=take(p), n=take(n), pen=jnp.maximum(take(pen), 0.0),
+                    v_other=take(v_other), active=act,
+                    finger=take(finger) * act, src=idx)
+
+
+def _robot_contacts(spec: RigidBodySpec, state: BodyState,
+                    sph: jnp.ndarray, sph_v: jnp.ndarray,
+                    is_finger: jnp.ndarray, radius, k: int) -> Contacts:
+    """Robot collision-point spheres vs the target's analytic SDF.
+
+    Normal convention: the impulse direction on the BODY points from the
+    body surface toward its interior at the contact (the finger presses
+    the object away from itself)."""
+    r = quat_to_mat(state.q)
+    rel = (sph - state.x) @ r                  # body frame [K, 3]
+    phi, g = _analytic_sdf_grad(
+        spec.kind[None], spec.half[None], jnp.ones((1,), jnp.float32),
+        rel[None], rounds=spec.round[None])
+    phi, g = phi[0], g[0]                      # [K], [K, 3]
+    n_out = g @ r.T
+    n_out = n_out / jnp.maximum(
+        jnp.linalg.norm(n_out, axis=-1, keepdims=True), 1e-9)
+    pen = radius - phi
+    cp = sph - n_out * phi[..., None]          # on the body surface
+    # finger-link spheres are EXCLUDED here: the pads contact through
+    # their box colliders (_pad_contacts); double-counting them as
+    # spheres would double the motor force budget
+    act = (pen > 0.0).astype(jnp.float32) * (1.0 - is_finger)
+    return _topk_contacts(cp, -n_out, pen, sph_v, act,
+                          jnp.zeros_like(pen), k)
+
+
+def _pad_contacts(spec: RigidBodySpec, state: BodyState,
+                  pad_pose: jnp.ndarray, pad_next: jnp.ndarray,
+                  pad_samples: jnp.ndarray, dt, k: int) -> Contacts:
+    """Finger pads as densely-sampled surfaces against the body's SDF.
+
+    Sphere-point fingers give a pinch only 3-6 marginal contacts and
+    their discreteness shoves the object around during the close
+    (measured ~9 mm drift); and sampling the OBJECT's surface against a
+    pad box is just as sparse (the pad face subtends ~1-2 of the body's
+    96 samples; measured).  The resolution has to live on the PAD: a
+    fixed sample grid over the pad surface queries the body's analytic
+    SDF — dense contact exactly where the pinch happens, independent of
+    object size.  Pad material-point velocities are exact (each sample
+    pushed through this substep's pad transform delta).
+
+    ``pad_pose/pad_next [2, 4, 4]``: pad frames at the substep
+    boundaries; ``pad_samples [2, Sp, 3]``: pad-frame surface samples.
+    """
+    r = quat_to_mat(state.q)
+    sp_w = jnp.einsum("fab,fsb->fsa", pad_pose[:, :3, :3], pad_samples) \
+        + pad_pose[:, None, :3, 3]                       # [2, Sp, 3]
+    nxt = jnp.einsum("fab,fsb->fsa", pad_next[:, :3, :3], pad_samples) \
+        + pad_next[:, None, :3, 3]
+    v_pad = (nxt - sp_w) / dt
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
+    sp_w, v_pad = flat(sp_w), flat(v_pad)
+    rel = (sp_w - state.x) @ r                           # body frame
+    phi, g = _analytic_sdf_grad(
+        spec.kind[None], spec.half[None], jnp.ones((1,), jnp.float32),
+        rel[None], rounds=spec.round[None])
+    phi, g = phi[0], g[0]
+    n_out = g @ r.T
+    n_out = n_out / jnp.maximum(
+        jnp.linalg.norm(n_out, axis=-1, keepdims=True), 1e-9)
+    pen = 1e-3 - phi           # contact once a pad sample grazes 1 mm
+    cp = sp_w - n_out * phi[..., None]
+    # finger value = pad index + 1: each pad is its OWN motor (the solver
+    # pins each pad's normal impulses at that pad's stall share — a
+    # single shared budget splits asymmetrically when one pad has more
+    # contacts and the imbalance extrudes the object; measured)
+    pad_id = 1.0 + (jnp.arange(pen.shape[0]) >= pad_samples.shape[1]
+                    ).astype(jnp.float32)
+    return _topk_contacts(cp, -n_out, pen, v_pad,
+                          (pen > 0.0).astype(jnp.float32),
+                          pad_id, k)
+
+
+def _world_contacts(spec: RigidBodySpec, world: StaticWorld,
+                    state: BodyState, k: int) -> Contacts:
+    """Target surface samples vs every static primitive: per-sample min
+    over objects, normal = that object's outward SDF gradient (pushes the
+    body out of the obstacle)."""
+    r = quat_to_mat(state.q)
+    pw = state.x + spec.surf @ r.T             # [S, 3] world
+    ro = world.inv_poses[:, :3, :3]
+    to = world.inv_poses[:, :3, 3]
+    po = jnp.einsum("oab,sb->osa", ro, pw) + to[:, None, :]
+    phi, g = _analytic_sdf_grad(
+        world.kinds, world.halfs, jnp.ones_like(world.rounds), po,
+        rounds=world.rounds)                   # [O, S], [O, S, 3]
+    phi = jnp.where(world.mask[:, None] > 0.5, phi, jnp.inf)
+    o_idx = jnp.argmin(phi, axis=0)            # [S]
+    s_idx = jnp.arange(pw.shape[0])
+    phi_min = phi[o_idx, s_idx]
+    g_obj = g[o_idx, s_idx]                    # object-frame gradient
+    n_w = jnp.einsum("sba,sb->sa", ro[o_idx], g_obj)  # R_o^T (inv rot)
+    n_w = n_w / jnp.maximum(
+        jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-9)
+    pen = -phi_min
+    return _topk_contacts(pw, n_w, pen, jnp.zeros_like(pw),
+                          (pen > 0.0).astype(jnp.float32),
+                          jnp.zeros_like(pen), k)
+
+
+def _solve_contacts(spec: RigidBodySpec, state: BodyState, c: Contacts,
+                    pp: PhysParams, iters: int, warm=None):
+    """Relaxed projected-Jacobi impulse solve.
+
+    ``warm`` (optional) = (ln0, l10, l20) accumulator init from the
+    previous substep's converged solve (persistent-contact warm start):
+    the warm impulses are applied to (v, w) up front, so the iteration
+    only has to find the CHANGE since last substep — near-stick grip
+    convergence in a handful of iterations instead of ~100 (without it
+    a pinched object slips ~4%/substep at 48 iterations; measured).
+    Returns (v, w, (ln, l1, l2), pv, pw)."""
+    r_mat = quat_to_mat(state.q)
+    i_inv = r_mat @ spec.inv_inertia @ r_mat.T
+    rarm = c.p - state.x                       # [C, 3]
+
+    # orthonormal tangent basis per contact
+    ref = jnp.where(jnp.abs(c.n[:, 2:3]) < 0.9,
+                    jnp.asarray([0.0, 0.0, 1.0])[None],
+                    jnp.asarray([1.0, 0.0, 0.0])[None])
+    t1 = jnp.cross(c.n, ref)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(c.n, t1)
+
+    def eff_k(d):
+        rxd = jnp.cross(rarm, d)
+        return spec.inv_mass + jnp.einsum(
+            "ca,ca->c", jnp.cross(rxd @ i_inv.T, rarm), d)
+
+    # direction-aware mass splitting: a Jacobi (parallel) application of
+    # all contact corrections overshoots by the number of contacts pushing
+    # the SAME way (N aligned table contacts each cancel the full approach
+    # velocity -> N x overshoot -> divergence), but contacts with
+    # orthogonal normals (the two pinch sides + the table) barely couple.
+    # Scale each contact's effective mass by the alignment-weighted count
+    # sum_j (n_i . n_j)^2 — aligned sets split the correction between
+    # them, orthogonal sets converge at full Gauss-Seidel-like rate
+    # (uniform 1/N splitting needs ~N iterations and never reaches
+    # friction stick on a 90-contact pinch; measured: the grasp slips)
+    align = jnp.square(c.n @ c.n.T) * c.active[None, :]
+    split = jnp.maximum(align.sum(-1), 1.0)
+    k_n = jnp.maximum(eff_k(c.n), 1e-6) * split
+    k_1 = jnp.maximum(eff_k(t1), 1e-6) * split
+    k_2 = jnp.maximum(eff_k(t2), 1e-6) * split
+    omega = jnp.asarray(0.9, jnp.float32)
+
+    # finger motor floor: the reference's gripper is position control
+    # with a stall force (PyBullet maxForce; commanded to 0 at
+    # panda_scene.py:427-428) — a stalled motor keeps PRESSING.  Model it
+    # as a lower bound on the normal impulse of finger-pad contacts:
+    # pinch_force * dt split over the active pad contacts.  No
+    # penetration-bias term enters the velocity solve (a Baumgarte bias
+    # on a deep DOUBLE-SIDED pinch pumps opposing impulses without bound
+    # — measured: unbounded ln, lateral drift, launch at phase changes);
+    # penetration is fixed by the momentum-free pseudo pass below.
+    # engagement ramp: a position controller develops stall force only
+    # when BLOCKED — a grazing first touch must not get the full motor
+    # force (20 N on a ~100 g object is a 200 m/s^2 kick that ejects it
+    # before the opposite pad arrives; measured).  Penetration depth is
+    # the stall signal: the commanded finger track deliberately overlaps
+    # the object by the squeeze depth, so only the held squeeze (not the
+    # approach) reaches full force.
+    engage = jnp.clip(c.pen / (pp.sphere_radius + 2e-3), 0.0, 1.0)
+    # Finger motor model: each finger is its own motor pressing at stall
+    # force when blocked (PyBullet maxForce position control commanded
+    # past the surface, panda_scene.py:427-428).  Three measured failure
+    # modes shaped this:
+    #  * pure complementarity: the kinematic squeeze approaches at only
+    #    ~5 mm/s, so a cold contact's impulse RATCHETS toward the stall
+    #    share at ~2e-4 N s/iteration (~800 iterations to get there) —
+    #    any contact churn (the object sliding a few mm along the pads)
+    #    resets the warm start and grip force collapses 10-30x: lifts
+    #    drop the object.
+    #  * per-contact pinning at the stall share: the two pads' pinned
+    #    force centroids form a COUPLE with nothing to rebalance it —
+    #    the object spins out of the pinch (tilt ramps from lift onset,
+    #    omega to 7 rad/s, pen 6.6 mm -> 0).
+    #  * one shared budget over both pads: asymmetric contact counts
+    #    give asymmetric side totals and extrude the object laterally.
+    # The model that works: pin each PAD's TOTAL normal impulse at its
+    # (engagement-ramped) stall share, and distribute it across that
+    # pad's contacts by complementarity — each iteration the plain
+    # projected update shapes the distribution (approaching samples gain
+    # share, separating ones lose it, resisting rotation), then a
+    # simplex rescale restores the pad total.  Engagement gates grazing
+    # first touches so the approach doesn't eject the object.
+    is_f = c.finger > 0.5
+    pad_w, pad_tot = [], []
+    for pad_val in (1.0, 2.0):
+        w = (jnp.abs(c.finger - pad_val) < 0.25) * c.active * engage
+        pad_w.append(w)
+        pad_tot.append(pp.pinch_force * pp.dt * w.sum()
+                       / jnp.maximum(w.sum(), 1.0))
+
+    def pin_pad_totals(ln):
+        """Rescale each pad's normal impulses to sum to the pad's stall
+        share, keeping the iteration's relative distribution (seeded by
+        engagement so a fresh contact set still splits sensibly)."""
+        out = ln
+        for w, tot in zip(pad_w, pad_tot):
+            m = w > 0.0
+            d = jnp.where(m, ln + 1e-3 * tot * w, 0.0)
+            out = jnp.where(m, tot * d / jnp.maximum(d.sum(), 1e-12), out)
+        return out
+
+    ln_cap = jnp.inf
+
+    # Patch-level angular friction.  Per-point Coulomb friction converges
+    # the translational modes in a few relaxed parallel iterations, but
+    # the COUPLE mode (counter-rotating tangential pairs across the
+    # patch) converges far too slowly — measured: gravity's ~0.01 N m
+    # pendulum torque on a pinched cylinder out-paces the solve by
+    # ~0.08 rad/s per substep and the object spins out of the grasp.  A
+    # gripped patch is physically a SURFACE contact: give it an angular
+    # Coulomb budget (cap = mu * sum(ln_finger) * r_patch, the exact
+    # torque capacity of the distributed point friction it stands in
+    # for) braking the object's angular velocity relative to the HAND's
+    # rigid motion (least-squares twist fit of the pad sample
+    # velocities).  No engagement => zero budget: closing on air still
+    # fails honestly.  (PyBullet ships spinning/rolling friction for the
+    # same reason, btConeTwist-style.)
+    w_pat = jnp.stack(pad_w).sum(0)                       # [C]
+    W_pat = w_pat.sum()
+    inv_w = 1.0 / jnp.maximum(W_pat, 1e-9)
+    pbar = (w_pat[:, None] * c.p).sum(0) * inv_w
+    vbar = (w_pat[:, None] * c.v_other).sum(0) * inv_w
+    r_pat = c.p - pbar
+    r2 = jnp.einsum("ca,ca->c", r_pat, r_pat)
+    A = (w_pat[:, None, None]
+         * (r2[:, None, None] * jnp.eye(3)
+            - jnp.einsum("ca,cb->cab", r_pat, r_pat))).sum(0)
+    bvec = (w_pat[:, None]
+            * jnp.cross(r_pat, c.v_other - vbar)).sum(0)
+    w_hand = jnp.linalg.solve(A + 1e-8 * jnp.eye(3), bvec)
+    w_hand = jnp.where(W_pat > 1e-6, w_hand, jnp.zeros(3))
+    r_patch = jnp.sqrt((w_pat * r2).sum() * inv_w)        # RMS patch radius
+    i_world = jnp.linalg.inv(i_inv + 1e-12 * jnp.eye(3))
+
+    def body(_, carry):
+        v, w, ln, l1, l2, la = carry
+        v_rel = v[None] + jnp.cross(w[None], rarm) - c.v_other
+        vn = jnp.einsum("ca,ca->c", c.n, v_rel)
+        ln_new = pin_pad_totals(
+            jnp.clip(ln - omega * vn / k_n, 0.0, ln_cap) * c.active)
+        d_n = ln_new - ln
+        v1 = jnp.einsum("ca,ca->c", t1, v_rel)
+        v2 = jnp.einsum("ca,ca->c", t2, v_rel)
+        cap = pp.mu * ln_new
+        l1_new = jnp.clip(l1 - omega * v1 / k_1, -cap, cap) * c.active
+        l2_new = jnp.clip(l2 - omega * v2 / k_2, -cap, cap) * c.active
+        imp = (d_n[:, None] * c.n + (l1_new - l1)[:, None] * t1
+               + (l2_new - l2)[:, None] * t2)
+        p_tot = imp.sum(0)
+        tau = jnp.cross(rarm, imp).sum(0)
+        v, w = v + spec.inv_mass * p_tot, w + i_inv @ tau
+        # patch angular brake (see header comment): exact one-step solve
+        # of the angular stick constraint, accumulator clamped to the
+        # patch's Coulomb torque budget
+        cap_ang = pp.mu * jnp.where(is_f, ln_new, 0.0).sum() * r_patch
+        la_new = la - omega * (i_world @ (w - w_hand))
+        nrm = jnp.linalg.norm(la_new)
+        la_new = la_new * jnp.minimum(
+            cap_ang / jnp.maximum(nrm, 1e-12), 1.0)
+        w = w + i_inv @ (la_new - la)
+        return (v, w, ln_new, l1_new, l2_new, la_new)
+
+    zero = jnp.zeros(c.pen.shape, jnp.float32)
+    v0, w0 = state.v, state.w
+    ln0 = pin_pad_totals(zero)
+    l10 = l20 = zero
+    if warm is not None:
+        ln0 = pin_pad_totals(jnp.maximum(warm[0], 0.0) * c.active)
+        cap0 = pp.mu * ln0
+        l10 = jnp.clip(warm[1], -cap0, cap0) * c.active
+        l20 = jnp.clip(warm[2], -cap0, cap0) * c.active
+        imp0 = ln0[:, None] * c.n + l10[:, None] * t1 + l20[:, None] * t2
+        v0 = v0 + spec.inv_mass * imp0.sum(0)
+        w0 = w0 + i_inv @ jnp.cross(rarm, imp0).sum(0)
+    v, w, ln, l1, l2, _ = jax.lax.fori_loop(
+        0, iters, body, (v0, w0, ln0, l10, l20, jnp.zeros(3, jnp.float32)))
+
+    # pseudo pass: positional projection out of penetration with impulses
+    # that move the BODY POSE but never enter its momentum (split-impulse
+    # scheme).  Capped so deep penetration translates to at most
+    # v_depen_max of positional creep per second of simulation.  FINGER
+    # contacts are excluded: their penetration is the COMMANDED squeeze
+    # (the motor model presses through it deliberately), and projecting
+    # it out pushes the object along the net pad normal with nothing
+    # opposing (the pseudo pass has no friction) — measured ~0.2 mm per
+    # substep of unopposed tangential drift (= v_depen_max scale on the
+    # pinch asymmetry) that walks the object out of the grip mid-lift.
+    bias = jnp.minimum(pp.beta / pp.dt * jnp.maximum(c.pen - pp.slop, 0.0),
+                       pp.v_depen_max) * (1.0 - c.finger.clip(0.0, 1.0))
+
+    def pbody(_, carry):
+        pv, pw, pl = carry
+        vrel = pv[None] + jnp.cross(pw[None], rarm)
+        vn = jnp.einsum("ca,ca->c", c.n, vrel)
+        pl_new = jnp.maximum(pl + omega * (bias - vn) / k_n, 0.0) * c.active
+        d = (pl_new - pl)[:, None] * c.n
+        return (pv + spec.inv_mass * d.sum(0),
+                pw + i_inv @ jnp.cross(rarm, d).sum(0), pl_new)
+
+    pv, pw, _ = jax.lax.fori_loop(
+        0, max(iters // 4, 4), pbody,
+        (jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32), zero))
+    return v, w, (ln, l1, l2), pv, pw
+
+
+def _substep(spec: RigidBodySpec, world: StaticWorld, pp: PhysParams,
+             state: BodyState, sph: jnp.ndarray, sph_v: jnp.ndarray,
+             is_finger: jnp.ndarray, pad_pose, pad_next, pad_samples,
+             warm_pools, k_robot: int, k_pad: int, k_world: int,
+             iters: int):
+    rc = _robot_contacts(spec, state, sph, sph_v, is_finger,
+                         pp.sphere_radius, k_robot)
+    pc = _pad_contacts(spec, state, pad_pose, pad_next, pad_samples,
+                       pp.dt, k_pad)
+    wc = _world_contacts(spec, world, state, k_world)
+    parts = (rc, pc, wc)
+    c = Contacts(*[jnp.concatenate(fields) for fields in zip(*parts)])
+    kr, kp = rc.active.shape[0], pc.active.shape[0]
+    lane_of = (slice(0, kr), slice(kr, kr + kp), slice(kr + kp, None))
+    # gather warm impulses by contact identity (sphere index / (pad,
+    # sample) index / surface sample index) — lanes churn under top-k,
+    # identities don't
+    warm = tuple(
+        jnp.concatenate([warm_pools[j][i][parts[j].src] for j in range(3)])
+        for i in range(3))
+    v = state.v + pp.gravity * pp.dt
+    st = state._replace(v=v)
+    v, w, lams, pv, pw = _solve_contacts(spec, st, c, pp, iters, warm)
+    new_pools = tuple(
+        tuple(jnp.zeros_like(warm_pools[j][i]).at[parts[j].src].set(
+            lams[i][lane_of[j]] * parts[j].active) for i in range(3))
+        for j in range(3))
+    decay_l = jnp.exp(-pp.damp_lin * pp.dt)
+    decay_a = jnp.exp(-pp.damp_ang * pp.dt)
+    v, w = v * decay_l, w * decay_a
+    # pseudo velocities advance the pose but are NOT kept in the state
+    x = state.x + (v + pv) * pp.dt
+    q = _quat_integrate(state.q, w + pw, pp.dt)
+    diag = {"robot_impulse": lams[0][:kr + kp].sum(),  # grasp-force signal
+            "robot_contacts": rc.active.sum() + pc.active.sum(),
+            "world_contacts": wc.active.sum(),
+            "pad_pen_max": jnp.max(pc.pen * pc.active),
+            "q": q, "w": w}
+    return BodyState(x=x, q=q, v=v, w=w), new_pools, diag
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def rollout(spec: RigidBodySpec, world: StaticWorld, pp: PhysParams,
+            state0: BodyState, sph_track: jnp.ndarray,
+            is_finger: jnp.ndarray | None = None,
+            pad_track: jnp.ndarray | None = None,
+            pad_samples: jnp.ndarray | None = None,
+            k_robot: int = 48, k_pad: int = 32, k_world: int = 48,
+            iters: int = 48):
+    """Simulate the full substep track in one scan.
+
+    ``sph_track [T+1, K, 3]``: world positions of the robot's collision
+    points at each substep boundary (precomputed by batched FK — the arm
+    is kinematic, so its whole motion is known up front and the scan body
+    contains no FK).  ``is_finger [K]`` marks finger-link spheres (those
+    contact through the sampled pad surfaces instead).  ``pad_track
+    [T+1, 2, 4, 4]``: the finger-pad frames per substep boundary;
+    ``pad_samples [2, Sp, 3]``: fixed pad-frame surface sample grids
+    (contact candidates against the body's SDF — see ``_pad_contacts``
+    for why the resolution lives on the pad, not the object).
+    Returns (final BodyState, traces) where traces hold the
+    body position/velocity per substep, the summed robot-contact normal
+    impulse (the grasp-force signal), and contact counts.
+    """
+    sph_a = sph_track[:-1]
+    sph_v = (sph_track[1:] - sph_track[:-1]) / pp.dt
+    if is_finger is None:
+        is_finger = jnp.zeros(sph_track.shape[1], jnp.float32)
+    if pad_track is None:
+        far = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(1e3)
+        pad_track = jnp.broadcast_to(
+            far, (sph_track.shape[0], 2, 4, 4))
+        pad_samples = jnp.zeros((2, 1, 3), jnp.float32)
+    zr = lambda m: tuple(jnp.zeros(m, jnp.float32) for _ in range(3))  # noqa: E731
+    pools0 = (zr(sph_track.shape[1]), zr(2 * pad_samples.shape[1]),
+              zr(spec.surf.shape[0]))
+
+    def step(carry, inp):
+        state, pools = carry
+        sph, sv, pad, pad_nxt = inp
+        nxt, pools, diag = _substep(spec, world, pp, state, sph, sv,
+                                    is_finger, pad, pad_nxt, pad_samples,
+                                    pools, k_robot, k_pad, k_world, iters)
+        diag["x"] = nxt.x
+        diag["v"] = nxt.v
+        return (nxt, pools), diag
+
+    (final, _), traces = jax.lax.scan(
+        step, (state0, pools0),
+        (sph_a, sph_v, pad_track[:-1], pad_track[1:]))
+    return final, traces

@@ -1,0 +1,119 @@
+"""Native physics execution harness (the role of the reference's PyBullet
+integration test, ``bullet/panda_scene.py:424-504``): a planned grasp
+actually lifts the target in the rigid-body stepper and scores the lift
+reward; bad grasps fail honestly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omg_planner_tpu.config import OMGConfig
+from omg_planner_tpu.planner.scene import PlanningScene
+from omg_planner_tpu.physics import (BodyState, execute_plan, rollout,
+                                     body_spec_from_primitive)
+from omg_planner_tpu.physics import rigid
+
+
+def _cube_spec(half=0.03, density=300.0):
+    s = np.asarray([half] * 3, np.float32)
+    pts = np.random.RandomState(0).uniform(-half, half, (200, 3))
+    pts = pts / np.maximum(np.abs(pts).max(-1, keepdims=True) / half, 1e-9)
+    return body_spec_from_primitive(0, s, pts.astype(np.float32),
+                                    density=density)
+
+
+def _table_world(z=0.0):
+    """A thick slab whose top surface is at ``z``."""
+    return rigid.StaticWorld(
+        kinds=jnp.asarray([0], jnp.int32),
+        halfs=jnp.asarray([[1.0, 1.0, 0.5]], jnp.float32),
+        rounds=jnp.asarray([0.0], jnp.float32),
+        inv_poses=jnp.asarray(
+            [np.linalg.inv(np.diag([1.0, 1.0, 1.0, 1.0])
+                           + np.array([[0, 0, 0, 0], [0, 0, 0, 0],
+                                       [0, 0, 0, z - 0.5], [0, 0, 0, 0]]))],
+            jnp.float32),
+        mask=jnp.asarray([1.0], jnp.float32))
+
+
+def _free_track(n, k=4):
+    """A robot track far away from everything (no robot contacts)."""
+    return jnp.full((n + 1, k, 3), 50.0, jnp.float32)
+
+
+def test_free_fall_matches_gravity():
+    spec = _cube_spec()
+    world = rigid.StaticWorld(            # inactive dummy collider
+        kinds=jnp.asarray([0], jnp.int32),
+        halfs=jnp.ones((1, 3), jnp.float32),
+        rounds=jnp.zeros((1,), jnp.float32),
+        inv_poses=jnp.eye(4, dtype=jnp.float32)[None],
+        mask=jnp.zeros((1,), jnp.float32))
+    pp = rigid.default_params()._replace(
+        damp_lin=jnp.asarray(0.0, jnp.float32))
+    st0 = BodyState(x=jnp.asarray([0.0, 0.0, 1.0]),
+                    q=jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+                    v=jnp.zeros(3), w=jnp.zeros(3))
+    n = 120                                # 0.5 s
+    final, _ = rollout(spec, world, pp, st0, _free_track(n))
+    t = n * float(pp.dt)
+    # symplectic Euler: z = z0 - g*dt*(1+2+..+n)*dt
+    expect = 1.0 - 9.81 * float(pp.dt) ** 2 * n * (n + 1) / 2.0
+    assert abs(float(final.x[2]) - expect) < 1e-3, (float(final.x[2]), expect)
+    assert abs(float(final.v[2]) + 9.81 * t) < 1e-2
+
+
+def test_resting_contact_is_stable():
+    """A cube dropped 1 mm above the table settles and stays put."""
+    spec = _cube_spec()
+    world = _table_world(0.0)
+    pp = rigid.default_params()
+    st0 = BodyState(x=jnp.asarray([0.0, 0.0, 0.031]),
+                    q=jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+                    v=jnp.zeros(3), w=jnp.zeros(3))
+    final, trace = rollout(spec, world, pp, st0, _free_track(240))
+    # settled on the surface (within slop), not sunk, not launched
+    assert abs(float(final.x[2]) - 0.030) < 2e-3, float(final.x[2])
+    assert float(jnp.linalg.norm(final.v)) < 0.02
+    assert float(jnp.abs(trace["x"][120:, :2]).max()) < 1e-3  # no drift
+
+
+@pytest.fixture(scope="module")
+def planned():
+    cfg = OMGConfig(silent=True, optim_steps=15, extra_smooth_steps=5,
+                    goal_set_max_num=12, ik_seed_num=3, ik_max_iters=30,
+                    learner_interp_steps=10)
+    scene = PlanningScene.synthetic(cfg, scene_id=0, n_obstacles=1)
+    res = scene.step(fast=True)
+    assert res is not None and bool(res.flag)
+    return scene, np.asarray(res.traj)
+
+
+def test_planned_grasp_lifts(planned):
+    scene, traj = planned
+    rep = execute_plan(scene, traj)
+    assert rep.reward == 1, rep.to_dict()
+    assert rep.lifted_m > 0.25, rep.to_dict()          # full 0.3 m retract
+    assert rep.moved_in_playback_m < 0.02, rep.to_dict()  # no pre-grasp shove
+    assert rep.grasp_impulse > 0.05, rep.to_dict()     # sustained pinch
+
+
+def test_air_grasp_fails(planned):
+    """Closing the gripper away from the object must score 0 with zero
+    grasp force (the fingers honestly close on air)."""
+    scene, traj = planned
+    bad = traj.copy()
+    bad[-1] = np.asarray(scene.start)
+    rep = execute_plan(scene, bad)
+    assert rep.reward == 0, rep.to_dict()
+    assert rep.grasp_impulse == 0.0, rep.to_dict()
+
+
+def test_too_heavy_object_slips(planned):
+    """40x the design mass exceeds the motor+friction budget: the object
+    must slip out instead of being magically carried."""
+    scene, traj = planned
+    rep = execute_plan(scene, traj, density=12000.0)
+    assert rep.reward == 0, rep.to_dict()
+    assert rep.lifted_m < 0.05, rep.to_dict()
