@@ -1,0 +1,110 @@
+"""Plan-and-execute over a scene suite in the native physics stepper.
+
+The reference's evaluation loop plans each scene and EXECUTES the plan in
+PyBullet, scoring the binary lift reward (``bullet/panda_scene.py``
+reset/step/retract/``_reward``; driven by ``omg/core.py:869-885``).  This
+app is that loop on the native stepper (:mod:`omg_planner_tpu.physics`):
+plan with the production config, replay + close + retract in-sim, score.
+
+Usage::
+
+    python -m omg_planner_tpu.apps.phys_exec --scenes 30 \
+        --out docs/phys_exec.json [--cpu]
+
+Writes a JSON report: per-scene plan verdict + execution report, plus
+aggregates (plan success rate, execution reward on planned successes,
+end-to-end reward).  Scenes whose plan FAILED are not executed (the
+reference only retracts after a declared grasp) and count 0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+SUITE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "..", "..", "data", "suite_v2")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", default=os.path.abspath(SUITE))
+    ap.add_argument("--scenes", type=int, default=30)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--density", type=float, default=300.0)
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from omg_planner_tpu.config import OMGConfig
+    from omg_planner_tpu.physics import execute_plan
+    from omg_planner_tpu.planner.scene import PlanningScene
+
+    cfg = OMGConfig(silent=True)          # production defaults
+    rows = []
+    pad = 0
+    scenes = []
+    for sid in range(args.scenes):
+        path = os.path.join(args.suite, f"scene_{sid}.npz")
+        scene = PlanningScene.from_npz(cfg, path)
+        scenes.append((sid, scene))
+        pad = max(pad, len(scene.env.objects) - 1)
+
+    t_all = time.time()
+    for sid, scene in scenes:
+        t0 = time.time()
+        res = scene.step(fast=True)
+        t_plan = time.time() - t0
+        row = {"scene": sid, "plan_wall_s": round(t_plan, 2)}
+        if res is None or not bool(res.flag):
+            row.update(plan_flag=False, reward=0, executed=False)
+            rows.append(row)
+            print(f"scene {sid}: PLAN FAIL ({t_plan:.1f}s)", flush=True)
+            continue
+        row["plan_flag"] = True
+        t0 = time.time()
+        try:
+            rep = execute_plan(scene, np.asarray(res.traj),
+                               density=args.density, pad_statics=pad)
+            row.update(executed=True, exec_wall_s=round(time.time() - t0, 2),
+                       **rep.to_dict())
+        except ValueError as e:           # non-analytic target
+            row.update(executed=False, reward=0, skip_reason=str(e))
+        rows.append(row)
+        print(f"scene {sid}: plan ok ({t_plan:.1f}s) -> reward "
+              f"{row['reward']} lifted {row.get('lifted_m', 0):.3f} "
+              f"({row.get('exec_wall_s', 0):.1f}s)", flush=True)
+
+    planned = [r for r in rows if r.get("plan_flag")]
+    executed = [r for r in rows if r.get("executed")]
+    report = {
+        "what": ("plan (production cfg) + native physics execution + "
+                 "lift reward over the pinned hard suite"),
+        "n_scenes": len(rows),
+        "plan_success_rate": round(len(planned) / max(len(rows), 1), 3),
+        "exec_reward_rate_on_planned": round(
+            sum(r["reward"] for r in executed) / max(len(planned), 1), 3),
+        "end_to_end_reward_rate": round(
+            sum(r.get("reward", 0) for r in rows) / max(len(rows), 1), 3),
+        "mean_lifted_m_on_success": round(float(np.mean(
+            [r["lifted_m"] for r in executed if r["reward"]] or [0.0])), 3),
+        "wall_s": round(time.time() - t_all, 1),
+        "scenes": rows,
+    }
+    line = json.dumps({k: v for k, v in report.items() if k != "scenes"})
+    print(line, flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"-> {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,13 +15,14 @@ docs/DESIGN.md §7):
 * Only the TARGET is dynamic; other scene objects are static colliders.
   (The reference's reward depends only on the target's motion; obstacle
   dynamics never enter the score.)
-* Finger position control is emulated kinematically: the close phase
-  drives the finger joints toward the object's grasp width minus a fixed
-  squeeze, and the solver's capped depenetration bias converts the
-  remaining overlap into bounded steady pinch force — the observable
-  behavior of PyBullet's ``maxForce`` position control without actuator
-  DOFs.  (The reference commands fingers to 0 and lets the motor stall,
-  ``panda_scene.py:427-428``.)
+* Finger position control is emulated with a dynamic in-scan joint: the
+  close phase commands the finger joints to 0 (exactly the reference,
+  ``panda_scene.py:427-428``) and the realized joint value advances at
+  the motor rate until pad penetration stalls it — so the grip closes on
+  the object WHERE IT IS (the object drifts a few mm during playback;
+  precomputed stops left one pad hovering short — measured on suite
+  scene 0).  The stalled motor keeps pressing via the solver's pinned
+  per-pad stall impulses, PyBullet's ``maxForce`` stall observable.
 * The arm replays the plan kinematically (perfect tracking).  The
   reference's position controller also tracks waypoints closely; plan
   feasibility w.r.t. arm dynamics is out of scope for both.
@@ -59,14 +60,19 @@ class PhysExecReport(NamedTuple):
     hand_dist_m: float          # final |target - hand|
     moved_in_playback_m: float  # target displacement before the grasp
     grasp_impulse: float        # mean robot-contact normal impulse (lift)
-    finger_stop_m: float        # commanded finger stop (grasp width/2 - squeeze)
+    finger_stop_m: float        # realized finger joint at rollout end
+    #                             (where the motor actually stalled)
+    lift_height_m: float        # commanded retract (clearance-capped)
 
     def to_dict(self) -> dict:
         return {k: (int(v) if k == "reward" else float(v))
                 for k, v in self._asdict().items()}
 
 
-def _static_world(env) -> rigid.StaticWorld:
+def _static_world(env, pad_to: int = 0) -> rigid.StaticWorld:
+    """Kinematic scene colliders.  ``pad_to`` pads the collider count
+    with inactive dummies so every scene in a suite shares one rollout
+    program shape (one compile)."""
     kinds, halfs, rounds, invs, mask = [], [], [], [], []
     for i, o in enumerate(env.objects):
         if i == env.target_idx:
@@ -80,9 +86,12 @@ def _static_world(env) -> rigid.StaticWorld:
         rounds.append(float(o.sdf.delta))
         invs.append(np.linalg.inv(o.pose_mat).astype(np.float32))
         mask.append(1.0)
-    if not kinds:  # keep shapes valid: one inactive dummy
-        kinds, halfs = [0], [np.ones(3, np.float32)]
-        rounds, invs, mask = [0.0], [np.eye(4, dtype=np.float32)], [0.0]
+    while len(kinds) < max(pad_to, 1):     # >=1 keeps shapes valid
+        kinds.append(0)
+        halfs.append(np.ones(3, np.float32))
+        rounds.append(0.0)
+        invs.append(np.eye(4, dtype=np.float32))
+        mask.append(0.0)
     return rigid.StaticWorld(
         kinds=jnp.asarray(kinds, jnp.int32),
         halfs=jnp.asarray(np.stack(halfs), jnp.float32),
@@ -91,58 +100,65 @@ def _static_world(env) -> rigid.StaticWorld:
         mask=jnp.asarray(mask, jnp.float32))
 
 
-@jax.jit
-def _finger_phi_grid(model, q_end9: jnp.ndarray, grid: jnp.ndarray,
-                     kind: jnp.ndarray, half: jnp.ndarray,
-                     inv_pose: jnp.ndarray) -> jnp.ndarray:
-    """min target-SDF value over each finger link's collision points, for
-    every candidate finger-joint value in ``grid [G]`` -> [G, 2]."""
+def _pad_axes(model, q9: np.ndarray, eps: float = 5e-3) -> np.ndarray:
+    """Each finger's prismatic axis in its own link frame, computed
+    NUMERICALLY from the model's FK (finite-difference the pad origin
+    along the finger joint) — model-agnostic, no URDF axis plumbing.
+    A prismatic joint translates the link frame without rotating it, so
+    the pad pose at any joint offset is the tracked pose composed with
+    ``axis * dv`` (``rigid._pad_pose``)."""
+    q9 = np.asarray(q9, np.float64)
+    qs = np.stack([q9, q9, q9])
+    qs[1, -2] += eps
+    qs[2, -1] += eps
+    poses = np.asarray(model_api.fk_batch(
+        model, jnp.asarray(qs, jnp.float32)))       # [3, L, 4, 4]
+    axes = np.zeros((2, 3), np.float32)
+    for f in range(2):
+        p0 = poses[0, -2 + f]
+        p1 = poses[1 + f, -2 + f]
+        a = p0[:3, :3].T @ (p1[:3, 3] - p0[:3, 3]) / eps
+        axes[f] = a / max(np.linalg.norm(a), 1e-9)
+    return axes
+
+
+def _lift_clearance(world: rigid.StaticWorld, surf_w: np.ndarray,
+                    lift_height: float, margin: float = 0.012,
+                    n_heights: int = 31) -> float:
+    """Largest +z travel (<= ``lift_height``) for which the object's
+    surface samples stay ``margin`` clear of every static collider.
+
+    The reference's retract is tabletop-only (``panda_scene.py:424-448``
+    — 10 x 0.03 m straight up with nothing overhead); this suite has
+    shelf scenes where a full 0.3 m retract rams the held object into
+    the board above and rips it from a perfectly good grasp.  The
+    evaluator's job is to score the GRASP, so the retract height adapts
+    to the scene's headroom (floor 0.08 m keeps the 0.05 m reward
+    threshold meaningful — a grasp that can't survive even 8 cm of lift
+    fails honestly)."""
     from ..ops.sdf import _analytic_sdf_grad
 
-    qs = jnp.broadcast_to(q_end9[None], (grid.shape[0],) + q_end9.shape)
-    qs = qs.at[:, -2:].set(grid[:, None])
-    poses = model_api.fk_batch(model, qs)
-    x = model_api.point_positions(model, poses)[:, -2:]   # [G, 2, P, 3]
-    rel = jnp.einsum("ab,gfpb->gfpa", inv_pose[:3, :3], x) + inv_pose[:3, 3]
+    hs = np.linspace(0.0, lift_height, n_heights)
+    pts = surf_w[None] + np.array([0.0, 0.0, 1.0]) * hs[:, None, None]
+    po = jnp.einsum("oab,hsb->ohsa", world.inv_poses[:, :3, :3],
+                    jnp.asarray(pts, jnp.float32)) \
+        + world.inv_poses[:, None, None, :3, 3]
     phi, _ = _analytic_sdf_grad(
-        kind[None], half[None], jnp.ones((1,), jnp.float32),
-        rel.reshape(1, -1, 3))
-    return phi.reshape(x.shape[:3]).min(-1)               # [G, 2]
-
-
-def _finger_stops(model, q_end: np.ndarray, target,
-                  squeeze: float, n_grid: int = 41) -> np.ndarray:
-    """Per-finger joint stop: sweep the finger joint from open to 0 and
-    find, from the finger links' ACTUAL collision geometry via FK, the
-    largest joint value at which the finger penetrates the target by
-    ``squeeze`` — where PyBullet's stalled position controller would hold
-    it (``panda_scene.py:427-428`` commands 0 and lets the motor stall).
-    0 (full close) when the finger never reaches the object: the grasp
-    then honestly closes on air and the lift fails."""
-    ana = target.sdf.analytic
-    grid = np.linspace(0.0, 0.04, n_grid, dtype=np.float32)
-    phi = np.asarray(_finger_phi_grid(
-        model, jnp.asarray(q_end, jnp.float32), jnp.asarray(grid),
-        jnp.asarray(ana[0], jnp.int32),
-        jnp.asarray(np.asarray(ana[1]), jnp.float32),
-        jnp.asarray(np.linalg.inv(target.pose_mat), jnp.float32)))  # [G, 2]
-    stops = np.zeros(2, np.float32)
-    start = np.clip(np.asarray(q_end[-2:], np.float64), 0.0, 0.04)
-    for f in range(2):
-        pen = -phi[:, f] - squeeze          # >= 0 where squeezed enough
-        hit = np.nonzero(pen >= 0.0)[0]
-        if len(hit) == 0:
-            stops[f] = 0.0                  # closes on air
-        else:
-            i = int(hit.max())              # largest joint value touching
-            if i + 1 < len(grid) and pen[i + 1] < 0.0:
-                # linear refine between grid[i] (touching) and grid[i+1]
-                t = pen[i] / max(pen[i] - pen[i + 1], 1e-9)
-                stops[f] = grid[i] + t * (grid[i + 1] - grid[i])
-            else:
-                stops[f] = grid[i]
-        stops[f] = min(stops[f], start[f])
-    return stops
+        world.kinds, world.halfs, jnp.ones_like(world.rounds),
+        po.reshape(world.kinds.shape[0], -1, 3), rounds=world.rounds)
+    phi = phi.reshape(world.kinds.shape[0], len(hs), -1)     # [O, H, S]
+    phi = jnp.where(world.mask[:, None, None] > 0.5, phi, jnp.inf)
+    phi = np.asarray(phi)
+    # only geometry the sample APPROACHES while rising can block the
+    # lift: the support surface under the object (SDF ~0 at rest, grows
+    # with height) and resting side-contacts with neighbors (SDF ~0,
+    # constant) must not count, or every tabletop scene reads "blocked
+    # at the first height step"
+    approaching = phi < phi[:, :1] - 1e-4
+    blocked_h = ((phi < margin) & approaching).any(axis=(0, 2))  # [H]
+    idx = np.nonzero(blocked_h)[0]
+    h_ok = lift_height if len(idx) == 0 else float(hs[idx[0]]) - margin
+    return float(np.clip(h_ok, 0.08, lift_height))
 
 
 def _lift_configs(scene, q_end: np.ndarray, lift_height: float,
@@ -169,51 +185,57 @@ def _lift_configs(scene, q_end: np.ndarray, lift_height: float,
     return np.stack(out)
 
 
-def _config_track(traj: np.ndarray, finger_stops: np.ndarray,
-                  lift_qs: np.ndarray, sub_plan: int, sub_close: int,
-                  sub_lift: int, settle: int) -> tuple[np.ndarray, int]:
-    """Substep-resolution joint track: settle / playback / close / lift.
-    Returns (configs [T, D], index where the playback phase ends)."""
+def _config_track(traj: np.ndarray, lift_qs: np.ndarray, jv_ref: np.ndarray,
+                  sub_plan: int, sub_close: int, sub_lift: int,
+                  settle: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Substep-resolution tracks: settle / playback / close / lift.
+
+    Returns ``(configs [T, D], jv_cmd [T, 2], playback_end)``.
+    ``configs`` drives the FK for the sphere + pad-frame tracks with the
+    FINGER JOINTS FROZEN at ``jv_ref`` — the realized finger value is
+    dynamic state inside the rollout scan, and the pad pose at joint
+    value jv is the tracked frame translated by ``axis * (jv - jv_ref)``
+    (``rigid._pad_pose``).  ``jv_cmd`` is the position-control COMMAND:
+    the plan's own finger values through playback, then 0 from the close
+    phase on (the reference commands 0 and lets the motor stall,
+    ``panda_scene.py:427-428``); the motor-rate/stall dynamics produce
+    the close, the squeeze, and the re-centering on a drifted object."""
     segs = [np.repeat(traj[0][None], settle, 0)]
     for a, b in zip(traj[:-1], traj[1:]):
         t = np.linspace(0.0, 1.0, sub_plan, endpoint=False)[:, None]
         segs.append(a[None] + (b - a)[None] * t)
     segs.append(traj[-1][None])
     playback_end = sum(len(s) for s in segs)
-    q_close = traj[-1].copy()
-    q_close[-2:] = finger_stops
-    t = np.linspace(0.0, 1.0, sub_close)[:, None]
-    segs.append(traj[-1][None] + (q_close - traj[-1])[None] * t)
-    # during the lift the fingers CREEP closed (2 mm over the whole
-    # retract): PyBullet's position controller keeps commanding 0 and the
-    # stalled motor keeps pressing (panda_scene.py:427-428) — a sustained
-    # approach velocity is what converts to sustained pinch force in the
-    # velocity-level solver
-    creep = 0.002
-    n_lift = len(lift_qs)
-    prev = q_close
-    for j, ql in enumerate(lift_qs):
-        ql = ql.copy()
-        ql[-2:] = np.maximum(finger_stops - creep * (j + 1) / n_lift, 0.0)
+    segs.append(np.repeat(traj[-1][None], sub_close, 0))  # arm holds
+    for prev, ql in zip([traj[-1]] + list(lift_qs[:-1]), lift_qs):
         t = np.linspace(0.0, 1.0, sub_lift, endpoint=False)[:, None]
         segs.append(prev[None] + (ql - prev)[None] * t)
-        prev = ql
-    segs.append(prev[None])
-    return np.concatenate(segs).astype(np.float32), playback_end
+    segs.append(lift_qs[-1][None])
+    configs = np.concatenate(segs).astype(np.float32)
+    jv_cmd = np.clip(configs[:, -2:], 0.0, None).astype(np.float32)
+    jv_cmd[playback_end:] = 0.0
+    configs[:, -2:] = np.asarray(jv_ref, np.float32)[None]
+    return configs, jv_cmd, playback_end
 
 
 def execute_plan(scene, traj: np.ndarray,
                  params: rigid.PhysParams | None = None,
                  lift_height: float = 0.3,
-                 squeeze: float = 0.002,
                  density: float = 300.0,
-                 sub_plan: int = 6, sub_close: int = 60,
+                 sub_plan: int = 6, sub_close: int = 90,
                  sub_lift: int = 12, lift_stages: int = 10,
-                 settle: int = 30,
+                 settle: int = 30, pad_statics: int = 0,
+                 iters: int = 96,
                  return_trace: bool = False):
     """Execute ``traj`` on ``scene`` (a PlanningScene) in the native
     stepper and score the reference's lift reward.  See module doc for
-    the harness correspondence."""
+    the harness correspondence.
+
+    ``iters=96``: the pinch patch has ~50 ALIGNED contacts, and the
+    alignment-split Jacobi solve needs ~that many iterations for the
+    tangential (grip-friction) modes — at 48 a held object creeps down
+    the pads ~0.06 m/s and falls out mid-lift (suite scene 13, measured);
+    96 converges (96 == 192 bit-for-bit on the reward metrics)."""
     env = scene.env
     model = _phys_model()          # dense contact spheres (same kinematics)
     target = env.target
@@ -224,14 +246,18 @@ def execute_plan(scene, traj: np.ndarray,
     spec = rigid.body_spec_from_primitive(
         int(ana[0]), np.asarray(ana[1]), np.asarray(target.points),
         density=density)
-    world = _static_world(env)
+    world = _static_world(env, pad_to=pad_statics)
     pp = params if params is not None else rigid.default_params()
 
     traj = np.asarray(traj, np.float64)
-    f_stops = _finger_stops(model, traj[-1], target, squeeze)
-    lift_qs = _lift_configs(scene, traj[-1], lift_height, lift_stages)
-    configs, playback_end = _config_track(
-        traj, f_stops, lift_qs, sub_plan, sub_close, sub_lift, settle)
+    jv_ref = np.clip(traj[0, -2:], 0.0, 0.04).astype(np.float32)
+    r0 = np.asarray(target.pose_mat[:3, :3], np.float32)
+    surf_w = np.asarray(target.pose_mat[:3, 3], np.float32) \
+        + np.asarray(spec.surf) @ r0.T
+    lift_h = _lift_clearance(world, surf_w, lift_height)
+    lift_qs = _lift_configs(scene, traj[-1], lift_h, lift_stages)
+    configs, jv_cmd, playback_end = _config_track(
+        traj, lift_qs, jv_ref, sub_plan, sub_close, sub_lift, settle)
     configs_j = jnp.asarray(configs)
 
     x0 = jnp.asarray(target.pose_mat[:3, 3], jnp.float32)
@@ -240,8 +266,11 @@ def execute_plan(scene, traj: np.ndarray,
                              v=jnp.zeros(3, jnp.float32),
                              w=jnp.zeros(3, jnp.float32))
     pad_center, pad_samples = _pad_geometry(model)
-    final, trace = _rollout_with_fk(model, spec, world, pp, configs_j,
-                                    state0, pad_center, pad_samples)
+    pad_axis = _pad_axes(model, traj[-1])
+    final, trace = _rollout_with_fk(
+        model, spec, world, pp, configs_j, state0, pad_center, pad_samples,
+        jnp.asarray(pad_axis), jnp.asarray(jv_cmd),
+        jnp.asarray(jv_ref), iters=iters)
     final = jax.block_until_ready(final)
 
     xs = np.asarray(trace["x"])
@@ -260,7 +289,8 @@ def execute_plan(scene, traj: np.ndarray,
         reward=reward, lifted_m=lifted, hand_dist_m=hand_dist,
         moved_in_playback_m=moved,
         grasp_impulse=float(imps[playback_end:].mean()),
-        finger_stop_m=float(f_stops.mean()))
+        finger_stop_m=float(np.asarray(trace["jv"])[-1].mean()),
+        lift_height_m=float(lift_h))
     if return_trace:
         out = {k: np.asarray(v) for k, v in trace.items()}
         out.update(playback_end=playback_end, configs=configs)
@@ -303,11 +333,12 @@ def _pad_geometry(model, m: int = 4):
             jnp.asarray(samples, jnp.float32))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("iters",))
 def _rollout_with_fk(model, spec, world, pp, configs, state0,
-                     pad_center, pad_samples):
-    poses = model_api.fk_batch(model, configs)
-    x = model_api.point_positions(model, poses)      # [T, L, P, 3]
+                     pad_center, pad_samples, pad_axis, jv_cmd, jv_ref,
+                     iters: int = 48):
+    poses = model_api.fk_batch(model, configs)       # fingers frozen at
+    x = model_api.point_positions(model, poses)      # jv_ref; [T, L, P, 3]
     sph = x.reshape(x.shape[0], -1, 3)
     fing = jnp.repeat(jnp.asarray(model_api.finger_link_mask(model)),
                       x.shape[2])
@@ -315,4 +346,5 @@ def _rollout_with_fk(model, spec, world, pp, configs, state0,
     shift = jnp.einsum("tfab,fb->tfa", pad[..., :3, :3], pad_center)
     pad = pad.at[..., :3, 3].add(shift)
     return rigid.rollout(spec, world, pp, state0, sph, fing,
-                         pad, pad_samples)
+                         pad, pad_samples, pad_axis, jv_cmd, jv_ref,
+                         iters=iters)

@@ -62,6 +62,9 @@ class PhysParams(NamedTuple):
     damp_ang: jnp.ndarray       # angular velocity damping, 1/s
     sphere_radius: jnp.ndarray  # robot collision-point contact radius, m
     pinch_force: jnp.ndarray    # finger motor stall force, N
+    stall_pen: jnp.ndarray      # pad penetration that stalls the finger
+    #                             motor (also the engagement ramp scale)
+    finger_rate: jnp.ndarray    # finger joint speed toward command, m/s
     gravity: jnp.ndarray        # [3]
 
 
@@ -70,7 +73,7 @@ def default_params(dt: float = 1.0 / 240.0) -> PhysParams:
     return PhysParams(
         dt=f(dt), mu=f(0.8), beta=f(0.2), slop=f(5e-4), v_depen_max=f(0.05),
         damp_lin=f(0.3), damp_ang=f(0.6), sphere_radius=f(0.006),
-        pinch_force=f(20.0),
+        pinch_force=f(20.0), stall_pen=f(3.5e-3), finger_rate=f(0.12),
         gravity=jnp.asarray([0.0, 0.0, -9.81], jnp.float32))
 
 
@@ -138,7 +141,67 @@ def _primitive_mass_inertia(kind: int, half, density: float):
     return m, np.diag([ix, iy, iz])
 
 
-def body_spec_from_primitive(kind: int, half, surf_pts: np.ndarray,
+def _fibonacci_sphere(n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + 5 ** 0.5) * i
+    return np.stack([np.cos(theta) * np.sin(phi),
+                     np.sin(theta) * np.sin(phi), np.cos(phi)], -1)
+
+
+def primitive_surface_samples(kind: int, half, n: int = 96) -> np.ndarray:
+    """Canonical body-frame surface samples for an analytic primitive.
+
+    The dynamic body IS the analytic primitive, so its contact candidates
+    against the static world come from the primitive's own surface — NOT
+    a strided subsample of the object's point cloud, whose coverage is
+    incidental: an upright cylinder whose cloud thins out at the bottom
+    face rests on 1-2 sample points, a degenerate support polygon, and
+    tips over unprovoked (measured on suite scene 5: the free-standing
+    bottle fell with zero robot contacts).  Support features (bottom
+    face/rim) are guaranteed here by construction."""
+    half = np.asarray(half, np.float64).ravel()[:3]
+    if kind == 1:                                 # sphere
+        pts = _fibonacci_sphere(n) * half[0]
+    elif kind == 2:                               # cylinder r, r, hh
+        r, hh = half[0], half[2]
+        pts = []
+        n_rim = 14
+        ang = np.linspace(0.0, 2 * np.pi, n_rim, endpoint=False)
+        ring = np.stack([np.cos(ang), np.sin(ang), np.zeros(n_rim)], -1)
+        for s in (-1.0, 1.0):                     # caps: rim + r/2 + center
+            for rr in (r, 0.5 * r):
+                p = ring.copy() * rr
+                p[:, 2] = s * hh
+                pts.append(p)
+            pts.append(np.array([[0.0, 0.0, s * hh]]))
+        for z in np.linspace(-hh, hh, 3 + 2)[1:-1]:   # side rings
+            p = ring.copy() * r
+            p[:, 2] = z
+            pts.append(p)
+        pts = np.concatenate(pts)
+    else:                                         # box: 6 face grids
+        m = max(int(np.ceil(np.sqrt(n / 6.0))), 2)
+        pts = []
+        for ax in range(3):
+            u, v = [i for i in range(3) if i != ax]
+            gu, gv = np.meshgrid(np.linspace(-half[u], half[u], m),
+                                 np.linspace(-half[v], half[v], m),
+                                 indexing="ij")
+            for s in (-1.0, 1.0):
+                p = np.zeros((m, m, 3))
+                p[..., ax] = s * half[ax]
+                p[..., u] = gu
+                p[..., v] = gv
+                pts.append(p.reshape(-1, 3))
+        pts = np.concatenate(pts)
+    # pad/trim to exactly n (static shape across scenes)
+    if len(pts) < n:
+        pts = np.concatenate([pts, pts[np.arange(n - len(pts)) % len(pts)]])
+    return pts[:n].astype(np.float32)
+
+
+def body_spec_from_primitive(kind: int, half, surf_pts: np.ndarray = None,
                              density: float = 300.0,
                              n_surf: int = 96,
                              round_r: float = 0.004) -> RigidBodySpec:
@@ -147,20 +210,15 @@ def body_spec_from_primitive(kind: int, half, surf_pts: np.ndarray,
     ``half`` is the analytic SDF's half-extent triple (``sdf.analytic[1]``
     — box: half extents; sphere: radius; cylinder: radius/radius/half
     height), so the physics body is EXACTLY the collision geometry the
-    planner optimized against.  ``surf_pts`` is the object's surface
-    cloud (``SceneObject.points``, the analogue of the reference Model's
-    500-point cloud, ``omg/core.py:120-140``); a deterministic stride
-    subsample keeps the contact query a fixed small batch.  ``density``
-    defaults to a light tabletop object (~YCB mass scale).
+    planner optimized against.  Contact candidates against the statics
+    are canonical samples of the primitive's own surface
+    (:func:`primitive_surface_samples`); ``surf_pts`` is accepted for
+    API compatibility and ignored.  ``density`` defaults to a light
+    tabletop object (~YCB mass scale).
     """
     half = np.asarray(half, np.float32).ravel()[:3]
     m, inertia = _primitive_mass_inertia(kind, half, density)
-    pts = np.asarray(surf_pts, np.float32)
-    stride = max(len(pts) // n_surf, 1)
-    pts = pts[::stride][:n_surf]
-    if len(pts) < n_surf:  # pad by repetition (static shape)
-        pts = np.concatenate(
-            [pts, pts[np.arange(n_surf - len(pts)) % len(pts)]])
+    pts = primitive_surface_samples(kind, half, n_surf)
     return RigidBodySpec(
         kind=jnp.asarray(kind, jnp.int32),
         half=jnp.asarray(half, jnp.float32),
@@ -220,6 +278,33 @@ def _robot_contacts(spec: RigidBodySpec, state: BodyState,
     act = (pen > 0.0).astype(jnp.float32) * (1.0 - is_finger)
     return _topk_contacts(cp, -n_out, pen, sph_v, act,
                           jnp.zeros_like(pen), k)
+
+
+def _pad_pose(base: jnp.ndarray, axis: jnp.ndarray,
+              dv: jnp.ndarray) -> jnp.ndarray:
+    """Finger-pad pose at joint offset ``dv`` from the reference value the
+    track was built with: prismatic joints translate the pad along a
+    fixed link-frame ``axis`` — a translation, so it composes with the
+    baked-in pad-center shift commutatively.  ``base [2,4,4]``,
+    ``axis [2,3]``, ``dv [2]``."""
+    shift = jnp.einsum("fab,fb->fa", base[:, :3, :3], axis * dv[:, None])
+    return base.at[:, :3, 3].add(shift)
+
+
+def _pad_probe_pen(spec: RigidBodySpec, state: BodyState,
+                   pad_pose: jnp.ndarray,
+                   pad_samples: jnp.ndarray) -> jnp.ndarray:
+    """Max pad-sample penetration per pad ([2]) — the finger motor's
+    stall signal."""
+    r = quat_to_mat(state.q)
+    sp_w = jnp.einsum("fab,fsb->fsa", pad_pose[:, :3, :3], pad_samples) \
+        + pad_pose[:, None, :3, 3]                       # [2, Sp, 3]
+    rel = jnp.einsum("fsb,ba->fsa", sp_w - state.x, r)
+    phi, _ = _analytic_sdf_grad(
+        spec.kind[None], spec.half[None], jnp.ones((1,), jnp.float32),
+        rel.reshape(1, -1, 3), rounds=spec.round[None])
+    pen = 1e-3 - phi[0].reshape(pad_samples.shape[:2])
+    return pen.max(-1)
 
 
 def _pad_contacts(spec: RigidBodySpec, state: BodyState,
@@ -357,7 +442,7 @@ def _solve_contacts(spec: RigidBodySpec, state: BodyState, c: Contacts,
     # the stall signal: the commanded finger track deliberately overlaps
     # the object by the squeeze depth, so only the held squeeze (not the
     # approach) reaches full force.
-    engage = jnp.clip(c.pen / (pp.sphere_radius + 2e-3), 0.0, 1.0)
+    engage = jnp.clip(c.pen / pp.stall_pen, 0.0, 1.0)
     # Finger motor model: each finger is its own motor pressing at stall
     # force when blocked (PyBullet maxForce position control commanded
     # past the surface, panda_scene.py:427-428).  Three measured failure
@@ -382,12 +467,17 @@ def _solve_contacts(spec: RigidBodySpec, state: BodyState, c: Contacts,
     # simplex rescale restores the pad total.  Engagement gates grazing
     # first touches so the approach doesn't eject the object.
     is_f = c.finger > 0.5
-    pad_w, pad_tot = [], []
-    for pad_val in (1.0, 2.0):
-        w = (jnp.abs(c.finger - pad_val) < 0.25) * c.active * engage
-        pad_w.append(w)
-        pad_tot.append(pp.pinch_force * pp.dt * w.sum()
-                       / jnp.maximum(w.sum(), 1.0))
+    pad_w = [(jnp.abs(c.finger - pad_val) < 0.25) * c.active * engage
+             for pad_val in (1.0, 2.0)]
+    # opposition gating: a position-controlled finger pushing a FREE
+    # object never stalls (the object accelerates away) — stall force
+    # needs the opposing pad.  Without it, the first finger to touch
+    # presses one-sided at 20 N and shoves the object ~8 mm across the
+    # gripper before the second pad catches (measured), seeding a
+    # twisted, marginal grip.
+    eng = [jnp.minimum(w.sum(), 1.0) for w in pad_w]
+    pad_tot = [pp.pinch_force * pp.dt * e * eng[1 - i]
+               for i, e in enumerate(eng)]
 
     def pin_pad_totals(ln):
         """Rescale each pad's normal impulses to sum to the pad's stall
@@ -506,11 +596,30 @@ def _solve_contacts(spec: RigidBodySpec, state: BodyState, c: Contacts,
 
 def _substep(spec: RigidBodySpec, world: StaticWorld, pp: PhysParams,
              state: BodyState, sph: jnp.ndarray, sph_v: jnp.ndarray,
-             is_finger: jnp.ndarray, pad_pose, pad_next, pad_samples,
+             is_finger: jnp.ndarray, pad_base, pad_base_next, pad_axis,
+             pad_samples, jv, jv_cmd, jv_ref,
              warm_pools, k_robot: int, k_pad: int, k_world: int,
              iters: int):
     rc = _robot_contacts(spec, state, sph, sph_v, is_finger,
                          pp.sphere_radius, k_robot)
+    # finger position control with stall (the reference commands the
+    # fingers to 0 and lets the motor stall on the object,
+    # panda_scene.py:427-428): the joint value is DYNAMIC state — it
+    # advances toward the command at the motor rate while its pad is
+    # unopposed, and freezes once the pad penetrates to the stall depth.
+    # Precomputed stops can't do this: the object drifts a few mm during
+    # playback and a stop sweep against its original pose leaves one pad
+    # hovering 1 mm short (measured on suite scene 0) — the grip must
+    # close on the object WHERE IT IS.  Opening (jv_cmd > jv) is never
+    # blocked.  No FK enters the scan: the pad pose is its precomputed
+    # track composed with a link-frame translation by (jv - jv_ref).
+    pad_pose = _pad_pose(pad_base, pad_axis, jv - jv_ref)
+    pen2 = _pad_probe_pen(spec, state, pad_pose, pad_samples)
+    step = jnp.clip(jv_cmd - jv, -pp.finger_rate * pp.dt,
+                    pp.finger_rate * pp.dt)
+    stalled = (pen2 >= pp.stall_pen) & (step < 0.0)
+    jv_next = jnp.where(stalled, jv, jv + step)
+    pad_next = _pad_pose(pad_base_next, pad_axis, jv_next - jv_ref)
     pc = _pad_contacts(spec, state, pad_pose, pad_next, pad_samples,
                        pp.dt, k_pad)
     wc = _world_contacts(spec, world, state, k_world)
@@ -541,16 +650,19 @@ def _substep(spec: RigidBodySpec, world: StaticWorld, pp: PhysParams,
             "robot_contacts": rc.active.sum() + pc.active.sum(),
             "world_contacts": wc.active.sum(),
             "pad_pen_max": jnp.max(pc.pen * pc.active),
-            "q": q, "w": w}
-    return BodyState(x=x, q=q, v=v, w=w), new_pools, diag
+            "jv": jv_next, "q": q, "w": w}
+    return BodyState(x=x, q=q, v=v, w=w), new_pools, jv_next, diag
 
 
-@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(11, 12, 13, 14))
 def rollout(spec: RigidBodySpec, world: StaticWorld, pp: PhysParams,
             state0: BodyState, sph_track: jnp.ndarray,
             is_finger: jnp.ndarray | None = None,
             pad_track: jnp.ndarray | None = None,
             pad_samples: jnp.ndarray | None = None,
+            pad_axis: jnp.ndarray | None = None,
+            jv_track: jnp.ndarray | None = None,
+            jv_ref: jnp.ndarray | None = None,
             k_robot: int = 48, k_pad: int = 32, k_world: int = 48,
             iters: int = 48):
     """Simulate the full substep track in one scan.
@@ -560,13 +672,18 @@ def rollout(spec: RigidBodySpec, world: StaticWorld, pp: PhysParams,
     is kinematic, so its whole motion is known up front and the scan body
     contains no FK).  ``is_finger [K]`` marks finger-link spheres (those
     contact through the sampled pad surfaces instead).  ``pad_track
-    [T+1, 2, 4, 4]``: the finger-pad frames per substep boundary;
-    ``pad_samples [2, Sp, 3]``: fixed pad-frame surface sample grids
-    (contact candidates against the body's SDF — see ``_pad_contacts``
-    for why the resolution lives on the pad, not the object).
-    Returns (final BodyState, traces) where traces hold the
-    body position/velocity per substep, the summed robot-contact normal
-    impulse (the grasp-force signal), and contact counts.
+    [T+1, 2, 4, 4]``: the finger-pad frames per substep boundary, built
+    at the fixed joint values ``jv_ref [2]``; ``pad_samples [2, Sp, 3]``:
+    fixed pad-frame surface sample grids (contact candidates against the
+    body's SDF — see ``_pad_contacts`` for why the resolution lives on
+    the pad, not the object).  ``pad_axis [2, 3]``: each finger's
+    prismatic axis in its pad frame; ``jv_track [T+1, 2]``: COMMANDED
+    finger joint values — the realized joint value is dynamic state with
+    motor-stall semantics (see ``_substep``).
+    Returns (final BodyState, traces) where traces hold the body
+    position/velocity/orientation, realized finger joints, the summed
+    robot-contact normal impulse (the grasp-force signal), and contact
+    counts per substep.
     """
     sph_a = sph_track[:-1]
     sph_v = (sph_track[1:] - sph_track[:-1]) / pp.dt
@@ -577,21 +694,28 @@ def rollout(spec: RigidBodySpec, world: StaticWorld, pp: PhysParams,
         pad_track = jnp.broadcast_to(
             far, (sph_track.shape[0], 2, 4, 4))
         pad_samples = jnp.zeros((2, 1, 3), jnp.float32)
+    if pad_axis is None:
+        pad_axis = jnp.zeros((2, 3), jnp.float32)
+    if jv_track is None:
+        jv_track = jnp.zeros((sph_track.shape[0], 2), jnp.float32)
+    if jv_ref is None:
+        jv_ref = jnp.zeros(2, jnp.float32)
     zr = lambda m: tuple(jnp.zeros(m, jnp.float32) for _ in range(3))  # noqa: E731
     pools0 = (zr(sph_track.shape[1]), zr(2 * pad_samples.shape[1]),
               zr(spec.surf.shape[0]))
 
     def step(carry, inp):
-        state, pools = carry
-        sph, sv, pad, pad_nxt = inp
-        nxt, pools, diag = _substep(spec, world, pp, state, sph, sv,
-                                    is_finger, pad, pad_nxt, pad_samples,
-                                    pools, k_robot, k_pad, k_world, iters)
+        state, pools, jv = carry
+        sph, sv, pad, pad_nxt, jv_cmd = inp
+        nxt, pools, jv, diag = _substep(
+            spec, world, pp, state, sph, sv, is_finger, pad, pad_nxt,
+            pad_axis, pad_samples, jv, jv_cmd, jv_ref,
+            pools, k_robot, k_pad, k_world, iters)
         diag["x"] = nxt.x
         diag["v"] = nxt.v
-        return (nxt, pools), diag
+        return (nxt, pools, jv), diag
 
-    (final, _), traces = jax.lax.scan(
-        step, (state0, pools0),
-        (sph_a, sph_v, pad_track[:-1], pad_track[1:]))
+    (final, _, _), traces = jax.lax.scan(
+        step, (state0, pools0, jv_track[0]),
+        (sph_a, sph_v, pad_track[:-1], pad_track[1:], jv_track[1:]))
     return final, traces
