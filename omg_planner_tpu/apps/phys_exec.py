@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--out", default="")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--density", type=float, default=300.0)
+    ap.add_argument("--cascade", action="store_true",
+                    help="recover plan failures with the production "
+                         "escalation cascade (goal-blacklist retries + "
+                         "exact-grid fallback) before executing")
     args = ap.parse_args(argv)
 
     import jax
@@ -61,6 +65,11 @@ def main(argv=None):
     for sid, scene in scenes:
         t0 = time.time()
         res = scene.step(fast=True)
+        if args.cascade and (res is None or not bool(res.flag)):
+            from omg_planner_tpu.planner.cascade import plan_cascade
+            cr = plan_cascade(scene)
+            if cr is not None:
+                res = cr.result
         t_plan = time.time() - t0
         row = {"scene": sid, "plan_wall_s": round(t_plan, 2)}
         if res is None or not bool(res.flag):

@@ -110,6 +110,28 @@ def test_air_grasp_fails(planned):
     assert rep.grasp_impulse == 0.0, rep.to_dict()
 
 
+def test_rollout_vmaps_over_plans():
+    """The whole rollout is one scan over fixed shapes, so it vmaps over
+    a batch of plans (rigid.py module doc); batched results must match
+    the streamed ones."""
+    spec = _cube_spec()
+    world = _table_world(0.0)
+    pp = rigid.default_params()
+    st0 = BodyState(x=jnp.asarray([[0.0, 0.0, 0.035], [0.1, 0.0, 0.2]]),
+                    q=jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (2, 1)),
+                    v=jnp.zeros((2, 3)), w=jnp.zeros((2, 3)))
+    tracks = jnp.stack([_free_track(60), _free_track(60) + 1.0])
+    batched = jax.vmap(
+        lambda s, t: rollout(spec, world, pp, s, t)[0])(st0, tracks)
+    for i in range(2):
+        one, _ = rollout(spec, world, pp,
+                         jax.tree.map(lambda a: a[i], st0), tracks[i])
+        np.testing.assert_allclose(np.asarray(batched.x[i]),
+                                   np.asarray(one.x), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(batched.v[i]),
+                                   np.asarray(one.v), atol=1e-5)
+
+
 def test_too_heavy_object_slips(planned):
     """40x the design mass exceeds the motor+friction budget: the object
     must slip out instead of being magically carried."""
