@@ -10,7 +10,17 @@ without PyBullet/GL: a synthetic cabinet scene and the same script grammar
     E <i>                    move to anchor configuration i
     ONCE                     run the script once (no looping)
 
-Usage:  python -m omg_planner_tpu.apps.kitchen -s script.txt
+Usage:  python -m omg_planner_tpu.apps.kitchen -s script.txt [--exec]
+
+Verdict semantics: P and post-place E steps start with the hand wrapped
+around an object resting on its support, so some collision points count
+by construction (measured: the stay-at-start "plan" alone counts 104)
+— the reference returns BOTH best-effort without checking any verdict
+(``trial.py:36-66,123-131``, with cabinet fixtures hard-disabled).  We
+print the strict verdict anyway; ``--exec`` adds the native physics
+outcome (:mod:`omg_planner_tpu.physics`), which is the meaningful judge
+for these steps — e.g. the demo's place reads "plan FAIL" yet places
+within 18 mm in-sim.
 """
 
 from __future__ import annotations
@@ -68,11 +78,22 @@ def parse_script(path: str):
     return steps
 
 
-def run_script(scene: PlanningScene, steps, fast: bool = False):
-    """Execute the parsed script; returns the per-step results."""
+def run_script(scene: PlanningScene, steps, fast: bool = False,
+               execute: bool = False):
+    """Execute the parsed script; returns the per-step results.
+
+    ``execute=True`` additionally scores each pick/place step in the
+    native physics stepper (:mod:`omg_planner_tpu.physics`) — the role
+    of the reference's continuous PyBullet kitchen world
+    (``panda_kitchen_scene.py:440-607``).  Each step is simulated from
+    its planned scene state (the script's world model advances
+    kinematically between steps, as in the reference's replanning loop);
+    returns ``(results, exec_reports)`` where ``exec_reports[i]`` is the
+    step's PhysExecReport / PlaceExecReport dict."""
     conf = np.array(DEFAULT_START)
     held = None
     results = []
+    reports: dict[int, dict] = {}
     for step in steps:
         kind = step[0]
         if kind == "ONCE":
@@ -82,6 +103,11 @@ def run_script(scene: PlanningScene, steps, fast: bool = False):
             if res is not None:
                 conf = res.traj[-1]
                 held = step[1]
+                if execute:
+                    from ..physics import execute_plan
+                    rep = execute_plan(scene, np.asarray(res.traj),
+                                       lift_height=0.1)
+                    reports[len(results)] = rep.to_dict()
             results.append(("pick", step[1], res))
         elif kind == "P":
             if held is None:
@@ -93,12 +119,22 @@ def run_script(scene: PlanningScene, steps, fast: bool = False):
             standoff = bool(step[1][3]) if len(step[1]) > 3 else False
             place = scene.env.target.pose_mat.copy()
             place[:3, 3] += [dx, dy, dz]
+            rel = None
+            if execute:
+                scene.env.set_target(held)
+                scene.attach_target(np.asarray(conf))
+                rel = scene.env.target.rel_hand_pose.copy()
             res, achieved = tasks.place_target(scene, conf, place,
                                                target_name=held,
                                                apply_standoff=standoff,
                                                fast=fast)
             if res is not None:
                 conf = res.traj[-1]
+                if execute:
+                    from ..physics import execute_place
+                    rep = execute_place(scene, np.asarray(res.traj),
+                                        place, rel)
+                    reports[len(results)] = rep.to_dict()
             held = None
             results.append(("place", achieved, res))
         elif kind == "E":
@@ -107,6 +143,8 @@ def run_script(scene: PlanningScene, steps, fast: bool = False):
             if res is not None:
                 conf = res.traj[-1]
             results.append(("move", step[1], res))
+    if execute:
+        return results, reports
     return results
 
 
@@ -115,6 +153,9 @@ def main():
     ap.add_argument("-s", "--script", default=None)
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--exec", dest="execute", action="store_true",
+                    help="score each pick/place step in the native "
+                         "physics stepper")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -126,10 +167,23 @@ def main():
         steps = parse_script(args.script)
     else:  # default demo: pick the mug, move it 20 cm sideways, retreat
         steps = [("T", "mug"), ("P", [0.0, 0.25, 0.0]), ("E", 0)]
-    results = run_script(scene, steps, fast=args.fast)
-    for kind, what, res in results:
+    reports = {}
+    if args.execute:
+        results, reports = run_script(scene, steps, fast=args.fast,
+                                      execute=True)
+    else:
+        results = run_script(scene, steps, fast=args.fast)
+    for i, (kind, what, res) in enumerate(results):
         ok = res is not None and bool(res.flag)
-        print(f"{kind}: {'OK' if ok else 'FAIL'}")
+        line = f"{kind}: {'OK' if ok else 'FAIL'}"
+        if i in reports:
+            r = reports[i]
+            line += (f"  [sim reward {r['reward']}"
+                     + (f", lifted {r['lifted_m']:.3f} m"
+                        if "lifted_m" in r else
+                        f", place err {r['place_err_xy_m']*1000:.0f} mm")
+                     + "]")
+        print(line)
 
 
 if __name__ == "__main__":

@@ -18,10 +18,11 @@ Modules:
 
 from .rigid import (BodyState, PhysParams, RigidBodySpec, StaticWorld,
                     body_spec_from_primitive, rollout)
-from .executor import PhysExecReport, execute_plan
+from .executor import (PhysExecReport, PlaceExecReport, execute_plan,
+                       execute_place)
 
 __all__ = [
     "BodyState", "PhysParams", "RigidBodySpec", "StaticWorld",
     "body_spec_from_primitive", "rollout",
-    "PhysExecReport", "execute_plan",
+    "PhysExecReport", "PlaceExecReport", "execute_plan", "execute_place",
 ]

@@ -298,6 +298,161 @@ def execute_plan(scene, traj: np.ndarray,
     return report
 
 
+class PlaceExecReport(NamedTuple):
+    """Scorecard of :func:`execute_place`."""
+
+    reward: int             # placed within tolerance and settled
+    place_err_xy_m: float   # final horizontal distance to the commanded pose
+    place_err_z_m: float    # final vertical offset (signed, + = above)
+    settle_speed: float     # |v| at the end (0 = at rest)
+    carried: int            # 1 = the object survived the transport in-grip
+    drop_h_m: float         # release-to-rest height (how far it fell)
+
+    def to_dict(self) -> dict:
+        ints = ("reward", "carried")
+        return {k: (int(v) if k in ints else float(v))
+                for k, v in self._asdict().items()}
+
+
+def _finger_hold_width(model, spec: rigid.RigidBodySpec, q9: np.ndarray,
+                       held_pose: np.ndarray, stall_pen: float,
+                       n_grid: int = 81) -> float:
+    """Finger joint value at which the pads pinch the HELD object to the
+    motor's stall depth — the initial condition of a place rollout (the
+    pick already established this grip; re-deriving it from the pad
+    geometry is exact because the held pose is known, no drift).  0 when
+    no width reaches the stall depth: the rollout then starts with the
+    fingers closing on air and the object falls — a bad hold fails
+    honestly."""
+    pad_center, pad_samples = _pad_geometry(model)
+    pad_axis = jnp.asarray(_pad_axes(model, q9))
+    poses = model_api.fk_batch(model, jnp.asarray(q9[None], jnp.float32))[0]
+    pad = poses[-2:]
+    shift = jnp.einsum("fab,fb->fa", pad[:, :3, :3], pad_center)
+    pad = pad.at[:, :3, 3].add(shift)
+    state = rigid.BodyState(
+        x=jnp.asarray(held_pose[:3, 3], jnp.float32),
+        q=mat_to_quat(jnp.asarray(held_pose[:3, :3], jnp.float32)),
+        v=jnp.zeros(3, jnp.float32), w=jnp.zeros(3, jnp.float32))
+    jv_ref = jnp.asarray(np.clip(q9[-2:], 0.0, 0.04), jnp.float32)
+    grid = jnp.linspace(0.0, 0.04, n_grid)
+
+    def pen_at(jv):
+        pp = rigid._pad_pose(pad, pad_axis,
+                             jnp.stack([jv, jv]) - jv_ref)
+        return rigid._pad_probe_pen(spec, state, pp, pad_samples).min()
+
+    pens = np.asarray(jax.jit(jax.vmap(pen_at))(grid))
+    ok = np.nonzero(pens >= stall_pen)[0]
+    return float(grid[ok.max()]) if len(ok) else 0.0
+
+
+def execute_place(scene, traj: np.ndarray, place_pose: np.ndarray,
+                  rel_hand_pose: np.ndarray,
+                  params: rigid.PhysParams | None = None,
+                  density: float = 300.0,
+                  sub_plan: int = 24, settle: int = 30,
+                  open_steps: int = 90, retract_height: float = 0.1,
+                  retract_stages: int = 4, sub_lift: int = 12,
+                  pad_statics: int = 0, iters: int = 96,
+                  tol_xy: float = 0.05, tol_z: float = 0.05,
+                  return_trace: bool = False):
+    """Execute a PLACEMENT plan in the native stepper and score it.
+
+    The reference's kitchen/real-world task layer places held objects by
+    executing the planned trajectory in PyBullet and releasing
+    (``real_world/trial.py:68-185``); this is that harness natively: the
+    object starts IN the grip (held pose = hand(traj[0]) @
+    ``rel_hand_pose``, the attach transform recorded by
+    ``PlanningScene.attach_target``), the motor pinch carries it through
+    the playback (gravity on — a weak hold drops it in transit), the
+    fingers then open and the arm retracts straight up, and the object
+    must come to REST within tolerance of the commanded ``place_pose``.
+
+    Reward = horizontal error < ``tol_xy`` AND vertical error < ``tol_z``
+    AND settled (final speed < 5 cm/s).  ``carried`` reports whether the
+    object was still in-grip at release (within 10 cm of the hand), so a
+    failed transport is distinguishable from a bad drop."""
+    env = scene.env
+    model = _phys_model()
+    target = env.target
+    ana = getattr(target.sdf, "analytic", None)
+    if ana is None:
+        raise ValueError("physics execution needs an analytic target "
+                         "primitive (data-backed SDFs carry no mass model)")
+    spec = rigid.body_spec_from_primitive(
+        int(ana[0]), np.asarray(ana[1]), density=density)
+    world = _static_world(env, pad_to=pad_statics)
+    pp = params if params is not None else rigid.default_params()
+
+    traj = np.asarray(traj, np.float64)
+    jv_ref = np.clip(traj[0, -2:], 0.0, 0.04).astype(np.float32)
+    hand0 = np.asarray(model_api.tip_pose(
+        model, jnp.asarray(traj[0], jnp.float32)))
+    held0 = hand0 @ np.asarray(rel_hand_pose)
+    jv0 = _finger_hold_width(model, spec, traj[0], held0,
+                             float(pp.stall_pen))
+
+    retract_qs = _lift_configs(scene, traj[-1], retract_height,
+                               retract_stages)
+    # settle (grip forms) / place playback / hold / open / retract
+    segs = [np.repeat(traj[0][None], settle, 0)]
+    for a, b in zip(traj[:-1], traj[1:]):
+        t = np.linspace(0.0, 1.0, sub_plan, endpoint=False)[:, None]
+        segs.append(a[None] + (b - a)[None] * t)
+    segs.append(np.repeat(traj[-1][None], settle, 0))
+    playback_end = sum(len(s) for s in segs)
+    segs.append(np.repeat(traj[-1][None], open_steps, 0))
+    release_end = playback_end + open_steps
+    for prev, ql in zip([traj[-1]] + list(retract_qs[:-1]), retract_qs):
+        t = np.linspace(0.0, 1.0, sub_lift, endpoint=False)[:, None]
+        segs.append(prev[None] + (ql - prev)[None] * t)
+    segs.append(np.repeat(retract_qs[-1][None], settle, 0))
+    configs = np.concatenate(segs).astype(np.float32)
+    jv_cmd = np.zeros((len(configs), 2), np.float32)
+    jv_cmd[playback_end:] = 0.04            # open from the release phase on
+    configs[:, -2:] = jv_ref[None]
+    jv_cmd[0] = jv0                          # rollout's initial joint value
+
+    x0 = jnp.asarray(held0[:3, 3], jnp.float32)
+    q0 = mat_to_quat(jnp.asarray(held0[:3, :3], jnp.float32))
+    state0 = rigid.BodyState(x=x0, q=q0,
+                             v=jnp.zeros(3, jnp.float32),
+                             w=jnp.zeros(3, jnp.float32))
+    pad_center, pad_samples = _pad_geometry(model)
+    pad_axis = _pad_axes(model, traj[0])
+    final, trace = _rollout_with_fk(
+        model, spec, world, pp, jnp.asarray(configs), state0, pad_center,
+        pad_samples, jnp.asarray(pad_axis), jnp.asarray(jv_cmd),
+        jnp.asarray(jv_ref), iters=iters)
+    final = jax.block_until_ready(final)
+
+    xs = np.asarray(trace["x"])
+    place_p = np.asarray(place_pose)[:3, 3]
+    # carried = at the end of the playback the object still sits at its
+    # attach-relative pose (within 5 cm) — distinguishes a drop in
+    # transit from a bad release
+    hand_rel = (np.asarray(model_api.tip_pose(
+        model, jnp.asarray(configs[playback_end - 1], jnp.float32)))
+        @ np.asarray(rel_hand_pose))[:3, 3]
+    carried = int(np.linalg.norm(xs[playback_end - 1] - hand_rel) < 0.05)
+    err = np.asarray(final.x) - place_p
+    err_xy = float(np.linalg.norm(err[:2]))
+    err_z = float(err[2])
+    speed = float(np.linalg.norm(np.asarray(final.v)))
+    drop = float(xs[release_end - 1][2] - np.asarray(final.x)[2])
+    reward = int(err_xy < tol_xy and abs(err_z) < tol_z and speed < 0.05)
+    report = PlaceExecReport(
+        reward=reward, place_err_xy_m=err_xy, place_err_z_m=err_z,
+        settle_speed=speed, carried=carried, drop_h_m=drop)
+    if return_trace:
+        out = {k: np.asarray(v) for k, v in trace.items()}
+        out.update(playback_end=playback_end, release_end=release_end,
+                   configs=configs)
+        return report, out
+    return report
+
+
 def _box_surface_grid(half: np.ndarray, m: int = 4) -> np.ndarray:
     """``m x m`` sample grid on each face of the box [-half, half]
     (6 m^2 points, centered frame)."""

@@ -10,8 +10,8 @@ import pytest
 
 from omg_planner_tpu.config import OMGConfig
 from omg_planner_tpu.planner.scene import PlanningScene
-from omg_planner_tpu.physics import (BodyState, execute_plan, rollout,
-                                     body_spec_from_primitive)
+from omg_planner_tpu.physics import (BodyState, execute_plan, execute_place,
+                                     rollout, body_spec_from_primitive)
 from omg_planner_tpu.physics import rigid
 
 
@@ -130,6 +130,38 @@ def test_rollout_vmaps_over_plans():
                                    np.asarray(one.x), atol=1e-5)
         np.testing.assert_allclose(np.asarray(batched.v[i]),
                                    np.asarray(one.v), atol=1e-5)
+
+
+def test_place_plan_executes(planned):
+    """A planned placement carries the held object through the playback,
+    releases it, and it comes to rest at the commanded pose (the role of
+    the reference's kitchen place execution, ``real_world/trial.py:
+    68-185``)."""
+    from omg_planner_tpu.planner.tasks import place_target
+
+    scene, traj = planned
+    grasp_conf = traj[-1]
+    t = scene.env.target
+    orig_pose = t.pose_mat.copy()
+    place_pose = orig_pose.copy()
+    place_pose[:3, 3] += np.asarray([0.10, 0.06, 0.0])
+    scene.attach_target(grasp_conf)
+    rel = t.rel_hand_pose.copy()
+    try:
+        res, _ = place_target(scene, grasp_conf, place_pose)
+        # the reference returns placements best-effort WITHOUT checking
+        # the verdict (trial.py:123-131 — the held object touches its
+        # support, so some collision points always count); the physics
+        # outcome below is the real judge
+        assert res is not None
+        rep = execute_place(scene, np.asarray(res.traj), place_pose, rel)
+        assert rep.carried == 1, rep.to_dict()
+        assert rep.reward == 1, rep.to_dict()
+    finally:
+        # restore the module-scoped fixture's scene for later tests
+        t.update_pose(orig_pose)
+        scene.detach_target()
+        scene.env._scene_sdf = None
 
 
 def test_too_heavy_object_slips(planned):
