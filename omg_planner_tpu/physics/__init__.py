@@ -17,12 +17,12 @@ Modules:
 """
 
 from .rigid import (BodyState, PhysParams, RigidBodySpec, StaticWorld,
-                    body_spec_from_primitive, rollout)
+                    body_spec_from_grid, body_spec_from_primitive, rollout)
 from .executor import (PhysExecReport, PlaceExecReport, execute_plan,
                        execute_place)
 
 __all__ = [
     "BodyState", "PhysParams", "RigidBodySpec", "StaticWorld",
-    "body_spec_from_primitive", "rollout",
+    "body_spec_from_grid", "body_spec_from_primitive", "rollout",
     "PhysExecReport", "PlaceExecReport", "execute_plan", "execute_place",
 ]

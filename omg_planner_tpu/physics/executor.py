@@ -42,6 +42,23 @@ from ..utils.pose import mat_to_quat
 from . import rigid
 
 
+def _body_spec_for(target, density: float, cfg=None) -> rigid.RigidBodySpec:
+    """Dynamic-body spec for a scene object: analytic primitives use the
+    closed-form SDF; mesh-pipeline objects (data-backed grids) use the
+    baked 4-channel grid with voxel-integrated mass properties."""
+    ana = getattr(target.sdf, "analytic", None)
+    if ana is not None:
+        return rigid.body_spec_from_primitive(
+            int(ana[0]), np.asarray(ana[1]), density=density)
+    if target.points is None:
+        raise ValueError("data-backed target needs surface points for "
+                         "world contact candidates")
+    penal = float(getattr(cfg, "penalize_constant", 5.0) or 5.0)
+    return rigid.body_spec_from_grid(
+        target.sdf, np.asarray(target.points), density=density,
+        inside_penalty=penal)
+
+
 @functools.lru_cache(maxsize=2)
 def _phys_model(n_points: int = 48):
     """Denser collision-point model for contact generation: the planner's
@@ -239,28 +256,24 @@ def execute_plan(scene, traj: np.ndarray,
     env = scene.env
     model = _phys_model()          # dense contact spheres (same kinematics)
     target = env.target
-    ana = getattr(target.sdf, "analytic", None)
-    if ana is None:
-        raise ValueError("physics execution needs an analytic target "
-                         "primitive (data-backed SDFs carry no mass model)")
-    spec = rigid.body_spec_from_primitive(
-        int(ana[0]), np.asarray(ana[1]), np.asarray(target.points),
-        density=density)
+    spec = _body_spec_for(target, density, scene.cfg)
     world = _static_world(env, pad_to=pad_statics)
     pp = params if params is not None else rigid.default_params()
 
     traj = np.asarray(traj, np.float64)
     jv_ref = np.clip(traj[0, -2:], 0.0, 0.04).astype(np.float32)
     r0 = np.asarray(target.pose_mat[:3, :3], np.float32)
-    surf_w = np.asarray(target.pose_mat[:3, 3], np.float32) \
-        + np.asarray(spec.surf) @ r0.T
+    # state is the COM pose (spec.com = COM in the object's own frame)
+    x0_np = (np.asarray(target.pose_mat[:3, 3])
+             + r0 @ np.asarray(spec.com)).astype(np.float32)
+    surf_w = x0_np + np.asarray(spec.surf) @ r0.T
     lift_h = _lift_clearance(world, surf_w, lift_height)
     lift_qs = _lift_configs(scene, traj[-1], lift_h, lift_stages)
     configs, jv_cmd, playback_end = _config_track(
         traj, lift_qs, jv_ref, sub_plan, sub_close, sub_lift, settle)
     configs_j = jnp.asarray(configs)
 
-    x0 = jnp.asarray(target.pose_mat[:3, 3], jnp.float32)
+    x0 = jnp.asarray(x0_np)
     q0 = mat_to_quat(jnp.asarray(target.pose_mat[:3, :3], jnp.float32))
     state0 = rigid.BodyState(x=x0, q=q0,
                              v=jnp.zeros(3, jnp.float32),
@@ -330,8 +343,9 @@ def _finger_hold_width(model, spec: rigid.RigidBodySpec, q9: np.ndarray,
     pad = poses[-2:]
     shift = jnp.einsum("fab,fb->fa", pad[:, :3, :3], pad_center)
     pad = pad.at[:, :3, 3].add(shift)
+    x_com = held_pose[:3, 3] + held_pose[:3, :3] @ np.asarray(spec.com)
     state = rigid.BodyState(
-        x=jnp.asarray(held_pose[:3, 3], jnp.float32),
+        x=jnp.asarray(x_com, jnp.float32),
         q=mat_to_quat(jnp.asarray(held_pose[:3, :3], jnp.float32)),
         v=jnp.zeros(3, jnp.float32), w=jnp.zeros(3, jnp.float32))
     jv_ref = jnp.asarray(np.clip(q9[-2:], 0.0, 0.04), jnp.float32)
@@ -376,12 +390,7 @@ def execute_place(scene, traj: np.ndarray, place_pose: np.ndarray,
     env = scene.env
     model = _phys_model()
     target = env.target
-    ana = getattr(target.sdf, "analytic", None)
-    if ana is None:
-        raise ValueError("physics execution needs an analytic target "
-                         "primitive (data-backed SDFs carry no mass model)")
-    spec = rigid.body_spec_from_primitive(
-        int(ana[0]), np.asarray(ana[1]), density=density)
+    spec = _body_spec_for(target, density, scene.cfg)
     world = _static_world(env, pad_to=pad_statics)
     pp = params if params is not None else rigid.default_params()
 
@@ -414,7 +423,8 @@ def execute_place(scene, traj: np.ndarray, place_pose: np.ndarray,
     configs[:, -2:] = jv_ref[None]
     jv_cmd[0] = jv0                          # rollout's initial joint value
 
-    x0 = jnp.asarray(held0[:3, 3], jnp.float32)
+    com = np.asarray(spec.com)
+    x0 = jnp.asarray(held0[:3, 3] + held0[:3, :3] @ com, jnp.float32)
     q0 = mat_to_quat(jnp.asarray(held0[:3, :3], jnp.float32))
     state0 = rigid.BodyState(x=x0, q=q0,
                              v=jnp.zeros(3, jnp.float32),
@@ -428,13 +438,15 @@ def execute_place(scene, traj: np.ndarray, place_pose: np.ndarray,
     final = jax.block_until_ready(final)
 
     xs = np.asarray(trace["x"])
-    place_p = np.asarray(place_pose)[:3, 3]
+    pp_mat = np.asarray(place_pose)
+    place_p = pp_mat[:3, 3] + pp_mat[:3, :3] @ com   # commanded COM
     # carried = at the end of the playback the object still sits at its
     # attach-relative pose (within 5 cm) — distinguishes a drop in
     # transit from a bad release
-    hand_rel = (np.asarray(model_api.tip_pose(
+    held_rel = (np.asarray(model_api.tip_pose(
         model, jnp.asarray(configs[playback_end - 1], jnp.float32)))
-        @ np.asarray(rel_hand_pose))[:3, 3]
+        @ np.asarray(rel_hand_pose))
+    hand_rel = held_rel[:3, 3] + held_rel[:3, :3] @ com
     carried = int(np.linalg.norm(xs[playback_end - 1] - hand_rel) < 0.05)
     err = np.asarray(final.x) - place_p
     err_xy = float(np.linalg.norm(err[:2]))

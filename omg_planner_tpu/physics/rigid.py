@@ -78,8 +78,17 @@ def default_params(dt: float = 1.0 / 240.0) -> PhysParams:
 
 
 class RigidBodySpec(NamedTuple):
-    """The dynamic target body: analytic primitive + mass properties +
-    body-frame surface samples (contact candidates against statics)."""
+    """The dynamic target body: its SDF (analytic primitive OR a baked
+    voxel grid for mesh-pipeline objects), mass properties, and
+    body-frame surface samples (contact candidates against statics).
+    The body frame is COM-CENTERED (``x`` in :class:`BodyState` is the
+    center of mass); :func:`body_spec_from_grid` records the original
+    frame's COM offset in ``com`` for the executor's pose conversions.
+
+    ``grid4`` selects the SDF backend STATICALLY (shape is a trace-time
+    constant): empty -> analytic closed form; non-empty -> 4-channel
+    trilinear query of baked value+gradient (the same scheme the
+    planner's ``BakedSceneSDF`` uses, ``ops/sdf.py::bake_scene``)."""
 
     kind: jnp.ndarray        # [] int32 (0 box, 1 sphere, 2 cylinder)
     half: jnp.ndarray        # [3]
@@ -87,6 +96,25 @@ class RigidBodySpec(NamedTuple):
     inv_mass: jnp.ndarray    # []
     inv_inertia: jnp.ndarray  # [3, 3] body frame
     surf: jnp.ndarray        # [S, 3] body-frame surface samples
+    com: jnp.ndarray         # [3] COM in the object's ORIGINAL frame
+    grid4: jnp.ndarray       # [X*Y*Z, 4] baked SDF, or [0, 4] (analytic)
+    grid_limits: jnp.ndarray  # [10] mn/mx/dims/delta (COM-centered)
+
+
+def _body_phi_grad(spec: "RigidBodySpec", rel: jnp.ndarray):
+    """Body SDF value + gradient at body-frame points ``rel [..., 3]`` —
+    analytic closed form or baked-grid trilinear, chosen at trace time."""
+    flat = rel.reshape(-1, 3)
+    if spec.grid4.shape[0]:
+        from ..ops.sdf import _query_one_object_baked
+
+        phi, g = _query_one_object_baked(spec.grid4, spec.grid_limits, flat)
+    else:
+        phi, g = _analytic_sdf_grad(
+            spec.kind[None], spec.half[None], jnp.ones((1,), jnp.float32),
+            flat[None], rounds=spec.round[None])
+        phi, g = phi[0], g[0]
+    return phi.reshape(rel.shape[:-1]), g.reshape(rel.shape)
 
 
 class StaticWorld(NamedTuple):
@@ -225,7 +253,80 @@ def body_spec_from_primitive(kind: int, half, surf_pts: np.ndarray = None,
         round=jnp.asarray(round_r, jnp.float32),
         inv_mass=jnp.asarray(1.0 / m, jnp.float32),
         inv_inertia=jnp.asarray(np.linalg.inv(inertia), jnp.float32),
-        surf=jnp.asarray(pts, jnp.float32))
+        surf=jnp.asarray(pts, jnp.float32),
+        com=jnp.zeros(3, jnp.float32),
+        grid4=jnp.zeros((0, 4), jnp.float32),
+        grid_limits=jnp.zeros(10, jnp.float32))
+
+
+def body_spec_from_grid(field, surf_pts: np.ndarray,
+                        density: float = 300.0,
+                        inside_penalty: float = 5.0,
+                        n_surf: int = 96) -> RigidBodySpec:
+    """Build the dynamic-body spec from a DATA-BACKED SDF (the mesh
+    pipeline's voxelized objects, ``io/meshsdf.py`` — the reference
+    executes exactly these YCB meshes in PyBullet).
+
+    Mass, COM and inertia come from voxel integration of the inside
+    region; the frame is re-centered at the COM (grid limits and surface
+    samples shifted) so the solver stays COM-frame like the primitives —
+    the original-frame offset is recorded in ``com`` for the executor's
+    pose conversions.  Contact queries use the planner's baked 4-channel
+    scheme (value + central-difference gradient, trilinearly
+    interpolated; ``ops/sdf.py::bake_scene`` semantics).
+    ``inside_penalty`` undoes the pipeline's x5 inside scaling
+    (``core.py:110`` parity) so penetration depths are metric.
+    """
+    data = np.asarray(field.data, np.float32)
+    data = np.where(data < 0, data / float(inside_penalty), data)
+    delta = float(field.delta)
+    origin = np.asarray(field.origin, np.float64)
+    inside = data < 0.0
+    n_in = int(inside.sum())
+    if n_in == 0:
+        raise ValueError("grid SDF has no interior voxels: no mass model")
+    idx = np.argwhere(inside)
+    pos = origin[None] + (idx + 0.5) * delta     # voxel centers
+    dv = delta ** 3
+    m = density * dv * n_in
+    com = pos.mean(0)
+    rp = pos - com[None]
+    r2 = np.einsum("na,na->n", rp, rp)
+    inertia = density * dv * (
+        r2.sum() * np.eye(3) - np.einsum("na,nb->ab", rp, rp))
+    # thin shells can have near-singular inertia along one axis
+    inertia += np.eye(3) * max(1e-8, 1e-4 * np.trace(inertia))
+
+    g = np.zeros(data.shape + (3,), np.float32)
+    g[1:-1, :, :, 0] = (data[2:] - data[:-2]) / (2 * delta)
+    g[:, 1:-1, :, 1] = (data[:, 2:] - data[:, :-2]) / (2 * delta)
+    g[:, :, 1:-1, 2] = (data[:, :, 2:] - data[:, :, :-2]) / (2 * delta)
+    grid4 = np.concatenate([data[..., None], g], -1).reshape(-1, 4)
+
+    mn = origin - com
+    mx = mn + delta * np.asarray(data.shape)
+    limits = np.concatenate(
+        [mn, mx, np.asarray(data.shape, np.float64), [delta]])
+
+    pts = np.asarray(surf_pts, np.float32)[:, :3] - com[None].astype(
+        np.float32)
+    stride = max(len(pts) // n_surf, 1)
+    pts = pts[::stride][:n_surf]
+    if len(pts) < n_surf:
+        pts = np.concatenate(
+            [pts, pts[np.arange(n_surf - len(pts)) % len(pts)]])
+
+    half = ((mx - mn) / 2.0).astype(np.float32)
+    return RigidBodySpec(
+        kind=jnp.asarray(0, jnp.int32),
+        half=jnp.asarray(half, jnp.float32),
+        round=jnp.asarray(0.0, jnp.float32),
+        inv_mass=jnp.asarray(1.0 / m, jnp.float32),
+        inv_inertia=jnp.asarray(np.linalg.inv(inertia), jnp.float32),
+        surf=jnp.asarray(pts, jnp.float32),
+        com=jnp.asarray(com, jnp.float32),
+        grid4=jnp.asarray(grid4, jnp.float32),
+        grid_limits=jnp.asarray(limits, jnp.float32))
 
 
 def _quat_integrate(q, w, dt):
@@ -263,10 +364,7 @@ def _robot_contacts(spec: RigidBodySpec, state: BodyState,
     the object away from itself)."""
     r = quat_to_mat(state.q)
     rel = (sph - state.x) @ r                  # body frame [K, 3]
-    phi, g = _analytic_sdf_grad(
-        spec.kind[None], spec.half[None], jnp.ones((1,), jnp.float32),
-        rel[None], rounds=spec.round[None])
-    phi, g = phi[0], g[0]                      # [K], [K, 3]
+    phi, g = _body_phi_grad(spec, rel)         # [K], [K, 3]
     n_out = g @ r.T
     n_out = n_out / jnp.maximum(
         jnp.linalg.norm(n_out, axis=-1, keepdims=True), 1e-9)
@@ -300,10 +398,8 @@ def _pad_probe_pen(spec: RigidBodySpec, state: BodyState,
     sp_w = jnp.einsum("fab,fsb->fsa", pad_pose[:, :3, :3], pad_samples) \
         + pad_pose[:, None, :3, 3]                       # [2, Sp, 3]
     rel = jnp.einsum("fsb,ba->fsa", sp_w - state.x, r)
-    phi, _ = _analytic_sdf_grad(
-        spec.kind[None], spec.half[None], jnp.ones((1,), jnp.float32),
-        rel.reshape(1, -1, 3), rounds=spec.round[None])
-    pen = 1e-3 - phi[0].reshape(pad_samples.shape[:2])
+    phi, _ = _body_phi_grad(spec, rel)
+    pen = 1e-3 - phi
     return pen.max(-1)
 
 
@@ -334,10 +430,7 @@ def _pad_contacts(spec: RigidBodySpec, state: BodyState,
     flat = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
     sp_w, v_pad = flat(sp_w), flat(v_pad)
     rel = (sp_w - state.x) @ r                           # body frame
-    phi, g = _analytic_sdf_grad(
-        spec.kind[None], spec.half[None], jnp.ones((1,), jnp.float32),
-        rel[None], rounds=spec.round[None])
-    phi, g = phi[0], g[0]
+    phi, g = _body_phi_grad(spec, rel)
     n_out = g @ r.T
     n_out = n_out / jnp.maximum(
         jnp.linalg.norm(n_out, axis=-1, keepdims=True), 1e-9)

@@ -171,3 +171,61 @@ def test_too_heavy_object_slips(planned):
     rep = execute_plan(scene, traj, density=12000.0)
     assert rep.reward == 0, rep.to_dict()
     assert rep.lifted_m < 0.05, rep.to_dict()
+
+
+def test_grid_body_mass_matches_analytic():
+    """Voxel-integrated mass/inertia of a voxelized box matches the
+    closed-form primitive within discretization error."""
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    from omg_planner_tpu.io.meshsdf import mesh_to_sdf, surface_points
+    from omg_planner_tpu.viz.raster import primitive_mesh
+
+    half = np.asarray([0.03, 0.04, 0.08])
+    v, f = primitive_mesh("box", 2.0 * half)   # full extents
+    sdf = mesh_to_sdf(v.astype(np.float32), f.astype(np.int32),
+                      delta=0.0075, padding=8)
+    sdf.penalize_inside(5.0)
+    pts = surface_points(v.astype(np.float32), f.astype(np.int32),
+                         max_points=500)
+    gspec = rigid.body_spec_from_grid(sdf, pts, density=300.0)
+    aspec = rigid.body_spec_from_primitive(0, half, density=300.0)
+    m_g = 1.0 / float(gspec.inv_mass)
+    m_a = 1.0 / float(aspec.inv_mass)
+    assert abs(m_g - m_a) / m_a < 0.15, (m_g, m_a)
+    ia = np.linalg.inv(np.asarray(aspec.inv_inertia))
+    ig = np.linalg.inv(np.asarray(gspec.inv_inertia))
+    assert np.allclose(np.diag(ig), np.diag(ia), rtol=0.25), (ig, ia)
+    assert np.linalg.norm(np.asarray(gspec.com)) < 0.01   # centered mesh
+
+
+def test_mesh_target_lifts():
+    """A MESH-pipeline object (voxelized SDF, no analytic primitive)
+    plans and then lifts in the physics harness through the baked-grid
+    contact path — the reference executes exactly these YCB meshes in
+    PyBullet."""
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    from test_mesh_object_plan import mesh_scene_object, tall_box_mesh
+    from omg_planner_tpu.io.assets import make_primitive, pose_at
+    from omg_planner_tpu.planner.scene import Env
+
+    cfg = OMGConfig(silent=True, optim_steps=20, extra_smooth_steps=6,
+                    goal_set_max_num=15, ik_seed_num=3, ik_max_iters=35,
+                    learner_interp_steps=10)
+    v, f = tall_box_mesh()
+    env = Env(cfg)
+    env.add_object(make_primitive(
+        "table", "box", [0.9, 1.2, 0.04], pose_at([0.5, 0.0, -0.02]),
+        compute_grasp=False))
+    env.add_object(mesh_scene_object(
+        "meshbox", v, f, pose_at([0.55, 0.05, 0.08]), target=True))
+    env.set_target("meshbox")
+    scene = PlanningScene(cfg, env)
+    res = scene.step(fast=True)
+    assert res is not None and bool(res.flag)
+    rep = execute_plan(scene, np.asarray(res.traj))
+    assert rep.reward == 1, rep.to_dict()
+    assert rep.lifted_m > 0.2, rep.to_dict()
