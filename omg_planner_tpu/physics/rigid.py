@@ -616,8 +616,29 @@ def _solve_contacts(spec: RigidBodySpec, state: BodyState, c: Contacts,
     r_patch = jnp.sqrt((w_pat * r2).sum() * inv_w)        # RMS patch radius
     i_world = jnp.linalg.inv(i_inv + 1e-12 * jnp.eye(3))
 
+    # Patch-level LINEAR friction (the translational sibling of the
+    # angular brake above).  The pinch's ~50 contacts all share the same
+    # tangent directions, so the alignment split divides each per-contact
+    # friction correction by ~50 and the BULK slip mode (the object
+    # sliding down the pads under gravity) needs ~50 Jacobi iterations
+    # per substep — at 96 most grips converge, but marginal ones still
+    # creep (suite scene 61: held object slips to 0.28 m below the hand
+    # at 96 iterations, holds at 192; measured).  Solve that single 3-DOF
+    # mode exactly: one aggregate impulse at the patch centroid braking
+    # the body's velocity there to the pads' mean motion, accumulator
+    # clamped to the SAME per-iteration Coulomb budget the per-point
+    # friction it stands in for would give (mu * total finger normal).
+    # The pinch-axis component is projected out so the brake never
+    # fights the motor squeeze or the normal complementarity.
+    a_pinch = (pad_w[0][:, None] * c.n).sum(0)
+    a_pinch = a_pinch / jnp.maximum(jnp.linalg.norm(a_pinch), 1e-9)
+    rbar = (w_pat[:, None] * rarm).sum(0) * inv_w
+    S = jnp.cross(jnp.eye(3), rbar[None])           # crossmat(rbar) rows
+    K_pat = spec.inv_mass * jnp.eye(3) - S @ i_inv @ S
+    K_inv = jnp.linalg.inv(K_pat + 1e-8 * jnp.eye(3))
+
     def body(_, carry):
-        v, w, ln, l1, l2, la = carry
+        v, w, ln, l1, l2, la, ll = carry
         v_rel = v[None] + jnp.cross(w[None], rarm) - c.v_other
         vn = jnp.einsum("ca,ca->c", c.n, v_rel)
         ln_new = pin_pad_totals(
@@ -633,16 +654,40 @@ def _solve_contacts(spec: RigidBodySpec, state: BodyState, c: Contacts,
         p_tot = imp.sum(0)
         tau = jnp.cross(rarm, imp).sum(0)
         v, w = v + spec.inv_mass * p_tot, w + i_inv @ tau
+        ln_f_tot = jnp.where(is_f, ln_new, 0.0).sum()
+        # patch linear brake (see header comment): exact one-step solve
+        # of the bulk tangential stick mode at the patch centroid.  The
+        # budget is the SHARED Coulomb budget minus what the per-point
+        # finger friction already spends in the patch plane — combined
+        # capacity stays mu * ln_tot, so an overweight object still
+        # slips honestly (a naive additive cap doubled the capacity and
+        # magically carried the 40x test mass; measured).
+        v_pat = v + jnp.cross(w, rbar) - vbar
+        v_t = v_pat - a_pinch * jnp.dot(a_pinch, v_pat)
+        ll_new = ll - omega * (K_inv @ v_t)
+        ll_new = ll_new - a_pinch * jnp.dot(a_pinch, ll_new)
+        f_pt = (jnp.where(is_f[:, None],
+                          l1_new[:, None] * t1 + l2_new[:, None] * t2,
+                          0.0)).sum(0)
+        f_pt = f_pt - a_pinch * jnp.dot(a_pinch, f_pt)
+        cap_lin = jnp.maximum(
+            pp.mu * ln_f_tot - jnp.linalg.norm(f_pt), 0.0)
+        nrm_l = jnp.linalg.norm(ll_new)
+        ll_new = ll_new * jnp.minimum(
+            cap_lin / jnp.maximum(nrm_l, 1e-12), 1.0)
+        d_l = ll_new - ll
+        v = v + spec.inv_mass * d_l
+        w = w + i_inv @ jnp.cross(rbar, d_l)
         # patch angular brake (see header comment): exact one-step solve
         # of the angular stick constraint, accumulator clamped to the
         # patch's Coulomb torque budget
-        cap_ang = pp.mu * jnp.where(is_f, ln_new, 0.0).sum() * r_patch
+        cap_ang = pp.mu * ln_f_tot * r_patch
         la_new = la - omega * (i_world @ (w - w_hand))
         nrm = jnp.linalg.norm(la_new)
         la_new = la_new * jnp.minimum(
             cap_ang / jnp.maximum(nrm, 1e-12), 1.0)
         w = w + i_inv @ (la_new - la)
-        return (v, w, ln_new, l1_new, l2_new, la_new)
+        return (v, w, ln_new, l1_new, l2_new, la_new, ll_new)
 
     zero = jnp.zeros(c.pen.shape, jnp.float32)
     v0, w0 = state.v, state.w
@@ -656,8 +701,10 @@ def _solve_contacts(spec: RigidBodySpec, state: BodyState, c: Contacts,
         imp0 = ln0[:, None] * c.n + l10[:, None] * t1 + l20[:, None] * t2
         v0 = v0 + spec.inv_mass * imp0.sum(0)
         w0 = w0 + i_inv @ jnp.cross(rarm, imp0).sum(0)
-    v, w, ln, l1, l2, _ = jax.lax.fori_loop(
-        0, iters, body, (v0, w0, ln0, l10, l20, jnp.zeros(3, jnp.float32)))
+    v, w, ln, l1, l2, _, _ = jax.lax.fori_loop(
+        0, iters, body, (v0, w0, ln0, l10, l20,
+                         jnp.zeros(3, jnp.float32),
+                         jnp.zeros(3, jnp.float32)))
 
     # pseudo pass: positional projection out of penetration with impulses
     # that move the BODY POSE but never enter its momentum (split-impulse
