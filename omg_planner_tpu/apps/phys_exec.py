@@ -97,9 +97,12 @@ def main(argv=None):
         "what": ("plan (production cfg) + native physics execution + "
                  "lift reward over the pinned hard suite"),
         "n_scenes": len(rows),
+        "n_exec_skipped": len(planned) - len(executed),
         "plan_success_rate": round(len(planned) / max(len(rows), 1), 3),
         "exec_reward_rate_on_planned": round(
             sum(r["reward"] for r in executed) / max(len(planned), 1), 3),
+        "exec_reward_rate_on_executed": round(
+            sum(r["reward"] for r in executed) / max(len(executed), 1), 3),
         "end_to_end_reward_rate": round(
             sum(r.get("reward", 0) for r in rows) / max(len(rows), 1), 3),
         "mean_lifted_m_on_success": round(float(np.mean(

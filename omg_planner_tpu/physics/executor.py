@@ -153,19 +153,9 @@ def _lift_clearance(world: rigid.StaticWorld, surf_w: np.ndarray,
     to the scene's headroom (floor 0.08 m keeps the 0.05 m reward
     threshold meaningful — a grasp that can't survive even 8 cm of lift
     fails honestly)."""
-    from ..ops.sdf import _analytic_sdf_grad
-
     hs = np.linspace(0.0, lift_height, n_heights)
     pts = surf_w[None] + np.array([0.0, 0.0, 1.0]) * hs[:, None, None]
-    po = jnp.einsum("oab,hsb->ohsa", world.inv_poses[:, :3, :3],
-                    jnp.asarray(pts, jnp.float32)) \
-        + world.inv_poses[:, None, None, :3, 3]
-    phi, _ = _analytic_sdf_grad(
-        world.kinds, world.halfs, jnp.ones_like(world.rounds),
-        po.reshape(world.kinds.shape[0], -1, 3), rounds=world.rounds)
-    phi = phi.reshape(world.kinds.shape[0], len(hs), -1)     # [O, H, S]
-    phi = jnp.where(world.mask[:, None, None] > 0.5, phi, jnp.inf)
-    phi = np.asarray(phi)
+    phi = np.asarray(_clearance_phi(world, jnp.asarray(pts, jnp.float32)))
     # only geometry the sample APPROACHES while rising can block the
     # lift: the support surface under the object (SDF ~0 at rest, grows
     # with height) and resting side-contacts with neighbors (SDF ~0,
@@ -176,6 +166,23 @@ def _lift_clearance(world: rigid.StaticWorld, surf_w: np.ndarray,
     idx = np.nonzero(blocked_h)[0]
     h_ok = lift_height if len(idx) == 0 else float(hs[idx[0]]) - margin
     return float(np.clip(h_ok, 0.08, lift_height))
+
+
+@jax.jit
+def _clearance_phi(world: rigid.StaticWorld, pts: jnp.ndarray) -> jnp.ndarray:
+    """World-SDF values of the lift sweep points, one jitted dispatch
+    (CLAUDE.md rule: everything device-side inside jit — the eager sweep
+    paid a per-op round trip on the remote-TPU tunnel).
+    ``pts [H, S, 3]`` -> ``phi [O, H, S]`` (inactive colliders inf)."""
+    from ..ops.sdf import _analytic_sdf_grad
+
+    po = jnp.einsum("oab,hsb->ohsa", world.inv_poses[:, :3, :3], pts) \
+        + world.inv_poses[:, None, None, :3, 3]
+    phi, _ = _analytic_sdf_grad(
+        world.kinds, world.halfs, jnp.ones_like(world.rounds),
+        po.reshape(world.kinds.shape[0], -1, 3), rounds=world.rounds)
+    phi = phi.reshape(world.kinds.shape[0], pts.shape[0], -1)
+    return jnp.where(world.mask[:, None, None] > 0.5, phi, jnp.inf)
 
 
 def _lift_configs(scene, q_end: np.ndarray, lift_height: float,
@@ -202,6 +209,17 @@ def _lift_configs(scene, q_end: np.ndarray, lift_height: float,
     return np.stack(out)
 
 
+def _playback_segs(traj: np.ndarray, sub_plan: int,
+                   settle: int) -> list[np.ndarray]:
+    """Settle + waypoint-interpolated playback segments (shared by the
+    pick and place track builders — one interpolation convention)."""
+    segs = [np.repeat(traj[0][None], settle, 0)]
+    for a, b in zip(traj[:-1], traj[1:]):
+        t = np.linspace(0.0, 1.0, sub_plan, endpoint=False)[:, None]
+        segs.append(a[None] + (b - a)[None] * t)
+    return segs
+
+
 def _config_track(traj: np.ndarray, lift_qs: np.ndarray, jv_ref: np.ndarray,
                   sub_plan: int, sub_close: int, sub_lift: int,
                   settle: int) -> tuple[np.ndarray, np.ndarray, int]:
@@ -217,10 +235,7 @@ def _config_track(traj: np.ndarray, lift_qs: np.ndarray, jv_ref: np.ndarray,
     phase on (the reference commands 0 and lets the motor stall,
     ``panda_scene.py:427-428``); the motor-rate/stall dynamics produce
     the close, the squeeze, and the re-centering on a drifted object."""
-    segs = [np.repeat(traj[0][None], settle, 0)]
-    for a, b in zip(traj[:-1], traj[1:]):
-        t = np.linspace(0.0, 1.0, sub_plan, endpoint=False)[:, None]
-        segs.append(a[None] + (b - a)[None] * t)
+    segs = _playback_segs(traj, sub_plan, settle)
     segs.append(traj[-1][None])
     playback_end = sum(len(s) for s in segs)
     segs.append(np.repeat(traj[-1][None], sub_close, 0))  # arm holds
@@ -350,15 +365,23 @@ def _finger_hold_width(model, spec: rigid.RigidBodySpec, q9: np.ndarray,
         v=jnp.zeros(3, jnp.float32), w=jnp.zeros(3, jnp.float32))
     jv_ref = jnp.asarray(np.clip(q9[-2:], 0.0, 0.04), jnp.float32)
     grid = jnp.linspace(0.0, 0.04, n_grid)
-
-    def pen_at(jv):
-        pp = rigid._pad_pose(pad, pad_axis,
-                             jnp.stack([jv, jv]) - jv_ref)
-        return rigid._pad_probe_pen(spec, state, pp, pad_samples).min()
-
-    pens = np.asarray(jax.jit(jax.vmap(pen_at))(grid))
+    pens = np.asarray(_hold_width_pens(
+        spec, state, pad, pad_axis, pad_samples, jv_ref, grid))
     ok = np.nonzero(pens >= stall_pen)[0]
     return float(grid[ok.max()]) if len(ok) else 0.0
+
+
+@jax.jit
+def _hold_width_pens(spec, state, pad, pad_axis, pad_samples, jv_ref, grid):
+    """Min pad-sample penetration for each candidate joint value in
+    ``grid`` — module-level jit so repeated place executions hit the
+    compile cache (a per-call ``jax.jit`` closure re-traces every
+    time)."""
+    def pen_at(jv):
+        pose = rigid._pad_pose(pad, pad_axis, jnp.stack([jv, jv]) - jv_ref)
+        return rigid._pad_probe_pen(spec, state, pose, pad_samples).min()
+
+    return jax.vmap(pen_at)(grid)
 
 
 def execute_place(scene, traj: np.ndarray, place_pose: np.ndarray,
@@ -385,8 +408,8 @@ def execute_place(scene, traj: np.ndarray, place_pose: np.ndarray,
 
     Reward = horizontal error < ``tol_xy`` AND vertical error < ``tol_z``
     AND settled (final speed < 5 cm/s).  ``carried`` reports whether the
-    object was still in-grip at release (within 10 cm of the hand), so a
-    failed transport is distinguishable from a bad drop."""
+    object was still at its attach-relative pose at release (within
+    5 cm), so a failed transport is distinguishable from a bad drop."""
     env = scene.env
     model = _phys_model()
     target = env.target
@@ -405,10 +428,7 @@ def execute_place(scene, traj: np.ndarray, place_pose: np.ndarray,
     retract_qs = _lift_configs(scene, traj[-1], retract_height,
                                retract_stages)
     # settle (grip forms) / place playback / hold / open / retract
-    segs = [np.repeat(traj[0][None], settle, 0)]
-    for a, b in zip(traj[:-1], traj[1:]):
-        t = np.linspace(0.0, 1.0, sub_plan, endpoint=False)[:, None]
-        segs.append(a[None] + (b - a)[None] * t)
+    segs = _playback_segs(traj, sub_plan, settle)
     segs.append(np.repeat(traj[-1][None], settle, 0))
     playback_end = sum(len(s) for s in segs)
     segs.append(np.repeat(traj[-1][None], open_steps, 0))
@@ -465,24 +485,6 @@ def execute_place(scene, traj: np.ndarray, place_pose: np.ndarray,
     return report
 
 
-def _box_surface_grid(half: np.ndarray, m: int = 4) -> np.ndarray:
-    """``m x m`` sample grid on each face of the box [-half, half]
-    (6 m^2 points, centered frame)."""
-    pts = []
-    for ax in range(3):
-        u, v = [i for i in range(3) if i != ax]
-        gu, gv = np.meshgrid(np.linspace(-half[u], half[u], m),
-                             np.linspace(-half[v], half[v], m),
-                             indexing="ij")
-        for s in (-1.0, 1.0):
-            p = np.zeros((m, m, 3), np.float32)
-            p[..., ax] = s * half[ax]
-            p[..., u] = gu
-            p[..., v] = gv
-            pts.append(p.reshape(-1, 3))
-    return np.concatenate(pts)
-
-
 def _pad_geometry(model, m: int = 4):
     """Finger-pad contact surfaces from the finger links' own point
     clouds: an axis-aligned bounding box per pad in its link frame (the
@@ -495,7 +497,9 @@ def _pad_geometry(model, m: int = 4):
     mins, maxs = pts.min(1), pts.max(1)
     center = (mins + maxs) / 2.0
     half = (maxs - mins) / 2.0 + 1e-3
-    samples = np.stack([_box_surface_grid(half[f], m) for f in range(2)])
+    samples = np.stack(
+        [rigid.box_face_grid(half[f], m).astype(np.float32)
+         for f in range(2)])
     return (jnp.asarray(center, jnp.float32),
             jnp.asarray(samples, jnp.float32))
 

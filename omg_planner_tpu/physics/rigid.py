@@ -177,6 +177,26 @@ def _fibonacci_sphere(n: int) -> np.ndarray:
                      np.sin(theta) * np.sin(phi), np.cos(phi)], -1)
 
 
+def box_face_grid(half, m: int) -> np.ndarray:
+    """``m x m`` sample grid on each face of the box [-half, half]
+    (6 m^2 points, centered frame).  Shared by the body's surface
+    sampler and the executor's finger-pad geometry."""
+    half = np.asarray(half, np.float64).ravel()[:3]
+    pts = []
+    for ax in range(3):
+        u, v = [i for i in range(3) if i != ax]
+        gu, gv = np.meshgrid(np.linspace(-half[u], half[u], m),
+                             np.linspace(-half[v], half[v], m),
+                             indexing="ij")
+        for s in (-1.0, 1.0):
+            p = np.zeros((m, m, 3))
+            p[..., ax] = s * half[ax]
+            p[..., u] = gu
+            p[..., v] = gv
+            pts.append(p.reshape(-1, 3))
+    return np.concatenate(pts)
+
+
 def primitive_surface_samples(kind: int, half, n: int = 96) -> np.ndarray:
     """Canonical body-frame surface samples for an analytic primitive.
 
@@ -210,19 +230,7 @@ def primitive_surface_samples(kind: int, half, n: int = 96) -> np.ndarray:
         pts = np.concatenate(pts)
     else:                                         # box: 6 face grids
         m = max(int(np.ceil(np.sqrt(n / 6.0))), 2)
-        pts = []
-        for ax in range(3):
-            u, v = [i for i in range(3) if i != ax]
-            gu, gv = np.meshgrid(np.linspace(-half[u], half[u], m),
-                                 np.linspace(-half[v], half[v], m),
-                                 indexing="ij")
-            for s in (-1.0, 1.0):
-                p = np.zeros((m, m, 3))
-                p[..., ax] = s * half[ax]
-                p[..., u] = gu
-                p[..., v] = gv
-                pts.append(p.reshape(-1, 3))
-        pts = np.concatenate(pts)
+        pts = box_face_grid(half, m)
     # pad/trim to exactly n (static shape across scenes)
     if len(pts) < n:
         pts = np.concatenate([pts, pts[np.arange(n - len(pts)) % len(pts)]])
@@ -310,8 +318,13 @@ def body_spec_from_grid(field, surf_pts: np.ndarray,
 
     pts = np.asarray(surf_pts, np.float32)[:, :3] - com[None].astype(
         np.float32)
-    stride = max(len(pts) // n_surf, 1)
-    pts = pts[::stride][:n_surf]
+    # evenly-spaced subsample over the WHOLE cloud: a stride+truncate
+    # (pts[::stride][:n]) silently drops a contiguous trailing chunk
+    # (e.g. 97-191 points -> only the first 96 survive), starving whole
+    # faces of world-contact candidates — the same degenerate-support
+    # failure primitive_surface_samples exists to prevent
+    idx = np.linspace(0, len(pts) - 1, min(n_surf, len(pts))).astype(int)
+    pts = pts[idx]
     if len(pts) < n_surf:
         pts = np.concatenate(
             [pts, pts[np.arange(n_surf - len(pts)) % len(pts)]])
@@ -833,7 +846,8 @@ def rollout(spec: RigidBodySpec, world: StaticWorld, pp: PhysParams,
         far = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(1e3)
         pad_track = jnp.broadcast_to(
             far, (sph_track.shape[0], 2, 4, 4))
-        pad_samples = jnp.zeros((2, 1, 3), jnp.float32)
+    if pad_samples is None:   # independent default: a caller may pass a
+        pad_samples = jnp.zeros((2, 1, 3), jnp.float32)  # pad_track alone
     if pad_axis is None:
         pad_axis = jnp.zeros((2, 3), jnp.float32)
     if jv_track is None:
