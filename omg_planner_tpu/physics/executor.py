@@ -86,17 +86,26 @@ class PhysExecReport(NamedTuple):
                 for k, v in self._asdict().items()}
 
 
-def _static_world(env, pad_to: int = 0) -> rigid.StaticWorld:
-    """Kinematic scene colliders.  ``pad_to`` pads the collider count
-    with inactive dummies so every scene in a suite shares one rollout
-    program shape (one compile)."""
+def _static_world(env, pad_to: int = 0, cfg=None) -> rigid.StaticWorld:
+    """Kinematic scene colliders: analytic primitives directly, and
+    DATA-BACKED obstacles (mesh-pipeline grids) as baked 4-channel SDF
+    colliders.  ``pad_to`` pads the primitive count with inactive
+    dummies so every scene in a suite shares one rollout program shape
+    (grid colliders key the compile on their own shapes — rare outside
+    mesh scenes)."""
     kinds, halfs, rounds, invs, mask = [], [], [], [], []
+    g4s, glims, ginvs = [], [], []
+    penal = float(getattr(cfg, "penalize_constant", 5.0) or 5.0)
     for i, o in enumerate(env.objects):
         if i == env.target_idx:
             continue
         ana = getattr(o.sdf, "analytic", None)
-        if ana is None:
-            continue  # data-backed obstacle: not a physics collider
+        if ana is None:                    # mesh obstacle: baked grid
+            _, grid4, lim = rigid.bake_grid_sdf(o.sdf, penal)
+            g4s.append(grid4)
+            glims.append(lim)
+            ginvs.append(np.linalg.inv(o.pose_mat).astype(np.float32))
+            continue
         kind, half, _ = ana
         kinds.append(int(kind))
         halfs.append(np.asarray(half, np.float32))
@@ -109,12 +118,20 @@ def _static_world(env, pad_to: int = 0) -> rigid.StaticWorld:
         rounds.append(0.0)
         invs.append(np.eye(4, dtype=np.float32))
         mask.append(0.0)
+    grid4 = grid_limits = grid_inv = None
+    if g4s:
+        n = max(len(g) for g in g4s)       # pad flat volumes to one shape
+        g4s = [np.pad(g, ((0, n - len(g)), (0, 0))) for g in g4s]
+        grid4 = jnp.asarray(np.stack(g4s), jnp.float32)
+        grid_limits = jnp.asarray(np.stack(glims), jnp.float32)
+        grid_inv = jnp.asarray(np.stack(ginvs), jnp.float32)
     return rigid.StaticWorld(
         kinds=jnp.asarray(kinds, jnp.int32),
         halfs=jnp.asarray(np.stack(halfs), jnp.float32),
         rounds=jnp.asarray(rounds, jnp.float32),
         inv_poses=jnp.asarray(np.stack(invs), jnp.float32),
-        mask=jnp.asarray(mask, jnp.float32))
+        mask=jnp.asarray(mask, jnp.float32),
+        grid4=grid4, grid_limits=grid_limits, grid_inv_poses=grid_inv)
 
 
 def _pad_axes(model, q9: np.ndarray, eps: float = 5e-3) -> np.ndarray:
@@ -182,7 +199,19 @@ def _clearance_phi(world: rigid.StaticWorld, pts: jnp.ndarray) -> jnp.ndarray:
         world.kinds, world.halfs, jnp.ones_like(world.rounds),
         po.reshape(world.kinds.shape[0], -1, 3), rounds=world.rounds)
     phi = phi.reshape(world.kinds.shape[0], pts.shape[0], -1)
-    return jnp.where(world.mask[:, None, None] > 0.5, phi, jnp.inf)
+    phi = jnp.where(world.mask[:, None, None] > 0.5, phi, jnp.inf)
+    if world.grid4 is not None and world.grid4.shape[0]:
+        from ..ops.sdf import _query_one_object_baked
+
+        pg = jnp.einsum("oab,hsb->ohsa", world.grid_inv_poses[:, :3, :3],
+                        pts) + world.grid_inv_poses[:, None, None, :3, 3]
+        ng = world.grid4.shape[0]
+        phi_g, _ = jax.vmap(_query_one_object_baked)(
+            world.grid4, world.grid_limits, pg.reshape(ng, -1, 3))
+        # grid OOB reads 1.0 (clear) — consistent with "no blocker"
+        phi = jnp.concatenate(
+            [phi, phi_g.reshape(ng, pts.shape[0], -1)], axis=0)
+    return phi
 
 
 def _lift_configs(scene, q_end: np.ndarray, lift_height: float,
@@ -272,7 +301,7 @@ def execute_plan(scene, traj: np.ndarray,
     model = _phys_model()          # dense contact spheres (same kinematics)
     target = env.target
     spec = _body_spec_for(target, density, scene.cfg)
-    world = _static_world(env, pad_to=pad_statics)
+    world = _static_world(env, pad_to=pad_statics, cfg=scene.cfg)
     pp = params if params is not None else rigid.default_params()
 
     traj = np.asarray(traj, np.float64)
@@ -414,7 +443,7 @@ def execute_place(scene, traj: np.ndarray, place_pose: np.ndarray,
     model = _phys_model()
     target = env.target
     spec = _body_spec_for(target, density, scene.cfg)
-    world = _static_world(env, pad_to=pad_statics)
+    world = _static_world(env, pad_to=pad_statics, cfg=scene.cfg)
     pp = params if params is not None else rigid.default_params()
 
     traj = np.asarray(traj, np.float64)

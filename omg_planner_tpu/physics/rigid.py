@@ -118,13 +118,20 @@ def _body_phi_grad(spec: "RigidBodySpec", rel: jnp.ndarray):
 
 
 class StaticWorld(NamedTuple):
-    """Kinematic scene colliders (analytic primitives, target excluded)."""
+    """Kinematic scene colliders (target excluded): analytic primitives,
+    plus optional DATA-BACKED grid colliders for mesh-pipeline obstacles
+    (baked 4-channel SDFs, same scheme as the grid body).  ``grid4`` is
+    ``None`` when the scene has no mesh obstacles — the grid query is
+    then statically absent from the compiled rollout."""
 
     kinds: jnp.ndarray      # [O] int32
     halfs: jnp.ndarray      # [O, 3]
     rounds: jnp.ndarray     # [O]
     inv_poses: jnp.ndarray  # [O, 4, 4] world -> object
     mask: jnp.ndarray       # [O] 1 = active collider
+    grid4: jnp.ndarray | None = None        # [Og, N, 4] flat baked SDFs
+    grid_limits: jnp.ndarray | None = None  # [Og, 10]
+    grid_inv_poses: jnp.ndarray | None = None  # [Og, 4, 4]
 
 
 class BodyState(NamedTuple):
@@ -267,6 +274,29 @@ def body_spec_from_primitive(kind: int, half, surf_pts: np.ndarray = None,
         grid_limits=jnp.zeros(10, jnp.float32))
 
 
+def bake_grid_sdf(field, inside_penalty: float = 5.0):
+    """Bake a data-backed :class:`SignedDensityField` into the 4-channel
+    (value + central-difference gradient) flat layout
+    ``_query_one_object_baked`` consumes.  ``inside_penalty`` undoes the
+    pipeline's inside scaling (``core.py:110`` parity) so penetration
+    depths are metric.  Returns ``(data [X,Y,Z], grid4 [X*Y*Z, 4],
+    limits [10])`` in the field's own frame."""
+    data = np.asarray(field.data, np.float32)
+    data = np.where(data < 0, data / float(inside_penalty), data)
+    delta = float(field.delta)
+    origin = np.asarray(field.origin, np.float64)
+    g = np.zeros(data.shape + (3,), np.float32)
+    g[1:-1, :, :, 0] = (data[2:] - data[:-2]) / (2 * delta)
+    g[:, 1:-1, :, 1] = (data[:, 2:] - data[:, :-2]) / (2 * delta)
+    g[:, :, 1:-1, 2] = (data[:, :, 2:] - data[:, :, :-2]) / (2 * delta)
+    grid4 = np.concatenate([data[..., None], g], -1).reshape(-1, 4)
+    mn = origin
+    mx = mn + delta * np.asarray(data.shape)
+    limits = np.concatenate(
+        [mn, mx, np.asarray(data.shape, np.float64), [delta]])
+    return data, grid4, limits
+
+
 def body_spec_from_grid(field, surf_pts: np.ndarray,
                         density: float = 300.0,
                         inside_penalty: float = 5.0,
@@ -285,8 +315,7 @@ def body_spec_from_grid(field, surf_pts: np.ndarray,
     ``inside_penalty`` undoes the pipeline's x5 inside scaling
     (``core.py:110`` parity) so penetration depths are metric.
     """
-    data = np.asarray(field.data, np.float32)
-    data = np.where(data < 0, data / float(inside_penalty), data)
+    data, grid4, limits = bake_grid_sdf(field, inside_penalty)
     delta = float(field.delta)
     origin = np.asarray(field.origin, np.float64)
     inside = data < 0.0
@@ -305,16 +334,10 @@ def body_spec_from_grid(field, surf_pts: np.ndarray,
     # thin shells can have near-singular inertia along one axis
     inertia += np.eye(3) * max(1e-8, 1e-4 * np.trace(inertia))
 
-    g = np.zeros(data.shape + (3,), np.float32)
-    g[1:-1, :, :, 0] = (data[2:] - data[:-2]) / (2 * delta)
-    g[:, 1:-1, :, 1] = (data[:, 2:] - data[:, :-2]) / (2 * delta)
-    g[:, :, 1:-1, 2] = (data[:, :, 2:] - data[:, :, :-2]) / (2 * delta)
-    grid4 = np.concatenate([data[..., None], g], -1).reshape(-1, 4)
-
-    mn = origin - com
-    mx = mn + delta * np.asarray(data.shape)
-    limits = np.concatenate(
-        [mn, mx, np.asarray(data.shape, np.float64), [delta]])
+    limits = limits.copy()
+    limits[0:3] -= com            # COM-centered body frame
+    limits[3:6] -= com
+    mn, mx = limits[0:3], limits[3:6]
 
     pts = np.asarray(surf_pts, np.float32)[:, :3] - com[None].astype(
         np.float32)
@@ -462,9 +485,10 @@ def _pad_contacts(spec: RigidBodySpec, state: BodyState,
 
 def _world_contacts(spec: RigidBodySpec, world: StaticWorld,
                     state: BodyState, k: int) -> Contacts:
-    """Target surface samples vs every static primitive: per-sample min
-    over objects, normal = that object's outward SDF gradient (pushes the
-    body out of the obstacle)."""
+    """Target surface samples vs every static collider: per-sample min
+    over objects (analytic primitives AND baked-grid mesh obstacles),
+    normal = that object's outward SDF gradient (pushes the body out of
+    the obstacle)."""
     r = quat_to_mat(state.q)
     pw = state.x + spec.surf @ r.T             # [S, 3] world
     ro = world.inv_poses[:, :3, :3]
@@ -479,6 +503,20 @@ def _world_contacts(spec: RigidBodySpec, world: StaticWorld,
     phi_min = phi[o_idx, s_idx]
     g_obj = g[o_idx, s_idx]                    # object-frame gradient
     n_w = jnp.einsum("sba,sb->sa", ro[o_idx], g_obj)  # R_o^T (inv rot)
+    if world.grid4 is not None and world.grid4.shape[0]:
+        from ..ops.sdf import _query_one_object_baked
+
+        rg = world.grid_inv_poses[:, :3, :3]
+        tg = world.grid_inv_poses[:, :3, 3]
+        pg = jnp.einsum("oab,sb->osa", rg, pw) + tg[:, None, :]
+        phi_g, g_g = jax.vmap(_query_one_object_baked)(
+            world.grid4, world.grid_limits, pg)        # [Og, S], [Og, S, 3]
+        gi = jnp.argmin(phi_g, axis=0)
+        phi_gm = phi_g[gi, s_idx]
+        n_g = jnp.einsum("sba,sb->sa", rg[gi], g_g[gi, s_idx])
+        closer = phi_gm < phi_min
+        phi_min = jnp.where(closer, phi_gm, phi_min)
+        n_w = jnp.where(closer[:, None], n_g, n_w)
     n_w = n_w / jnp.maximum(
         jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-9)
     pen = -phi_min

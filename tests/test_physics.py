@@ -200,6 +200,42 @@ def test_grid_body_mass_matches_analytic():
     assert np.linalg.norm(np.asarray(gspec.com)) < 0.01   # centered mesh
 
 
+def test_mesh_static_collider_supports_body():
+    """A data-backed (voxelized) obstacle is a real collider: a cube
+    dropped onto a MESH slab rests on it instead of falling through
+    (before grid statics, data-backed obstacles were silently skipped)."""
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    from omg_planner_tpu.io.meshsdf import mesh_to_sdf
+    from omg_planner_tpu.viz.raster import primitive_mesh
+
+    v, f = primitive_mesh("box", [0.5, 0.5, 0.08])       # full extents
+    sdf = mesh_to_sdf(v.astype(np.float32), f.astype(np.int32),
+                      delta=0.01, padding=6)
+    sdf.penalize_inside(5.0)
+    _, grid4, lim = rigid.bake_grid_sdf(sdf, 5.0)
+    slab_pose = np.eye(4); slab_pose[2, 3] = -0.04       # top face at z=0
+    world = rigid.StaticWorld(
+        kinds=jnp.asarray([0], jnp.int32),               # inactive dummy
+        halfs=jnp.ones((1, 3), jnp.float32),
+        rounds=jnp.zeros((1,), jnp.float32),
+        inv_poses=jnp.eye(4, dtype=jnp.float32)[None],
+        mask=jnp.zeros((1,), jnp.float32),
+        grid4=jnp.asarray(grid4[None], jnp.float32),
+        grid_limits=jnp.asarray(lim[None], jnp.float32),
+        grid_inv_poses=jnp.asarray(
+            np.linalg.inv(slab_pose)[None], jnp.float32))
+    spec = _cube_spec()
+    pp = rigid.default_params()
+    st0 = BodyState(x=jnp.asarray([0.0, 0.0, 0.035]),
+                    q=jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+                    v=jnp.zeros(3), w=jnp.zeros(3))
+    final, trace = rollout(spec, world, pp, st0, _free_track(240))
+    assert abs(float(final.x[2]) - 0.030) < 4e-3, float(final.x[2])
+    assert float(jnp.linalg.norm(final.v)) < 0.02
+
+
 def test_mesh_target_lifts():
     """A MESH-pipeline object (voxelized SDF, no analytic primitive)
     plans and then lifts in the physics harness through the baked-grid
