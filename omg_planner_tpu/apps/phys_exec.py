@@ -30,6 +30,21 @@ SUITE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "..", "..", "data", "suite_v2")
 
 
+def _write_replay(scene, trace, args):
+    """Render the rollout trace (robot + simulated target) to a video."""
+    from omg_planner_tpu.physics.executor import _body_spec_for
+    from omg_planner_tpu.viz.render import render_execution, write_video
+
+    env = scene.env
+    spec = _body_spec_for(env.target, args.density, scene.cfg)
+    frames = render_execution(
+        scene.model, env.objects, env.target_idx, trace["configs"],
+        np.asarray(trace["x"]), np.asarray(trace["q"]),
+        com=np.asarray(spec.com))
+    write_video(frames, args.video)
+    print(f"replay -> {args.video}", flush=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default=os.path.abspath(SUITE))
@@ -41,6 +56,10 @@ def main(argv=None):
                     help="recover plan failures with the production "
                          "escalation cascade (goal-blacklist retries + "
                          "exact-grid fallback) before executing")
+    ap.add_argument("--video", default="",
+                    help="write an execution-replay video (robot + "
+                         "simulated target pose) of the first executed "
+                         "scene to this path")
     args = ap.parse_args(argv)
 
     import jax
@@ -79,12 +98,18 @@ def main(argv=None):
             continue
         row["plan_flag"] = True
         t0 = time.time()
+        want_video = bool(args.video) and not any(
+            r.get("executed") for r in rows)
         try:
-            rep = execute_plan(scene, np.asarray(res.traj),
-                               density=args.density, pad_statics=pad)
+            out = execute_plan(scene, np.asarray(res.traj),
+                               density=args.density, pad_statics=pad,
+                               return_trace=want_video)
+            rep, trace = out if want_video else (out, None)
             row.update(executed=True, exec_wall_s=round(time.time() - t0, 2),
                        **rep.to_dict())
-        except ValueError as e:           # non-analytic target
+            if trace is not None:
+                _write_replay(scene, trace, args)
+        except ValueError as e:           # no mass model for this target
             row.update(executed=False, reward=0, skip_reason=str(e))
         rows.append(row)
         print(f"scene {sid}: plan ok ({t_plan:.1f}s) -> reward "

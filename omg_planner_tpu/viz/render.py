@@ -132,6 +132,42 @@ def render_trajectory_collision(model, scene, traj: np.ndarray,
     return frames
 
 
+def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = [float(v) for v in q]
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def render_execution(model, objects, target_idx: int, configs: np.ndarray,
+                     xs: np.ndarray, quats: np.ndarray,
+                     com: np.ndarray | None = None,
+                     every: int = 20, **kw) -> list[np.ndarray]:
+    """Frames of a physics-execution replay: the robot's substep config
+    with the dynamic TARGET at its simulated pose (the role of the
+    reference's recorded PyBullet executions, ``panda_scene.py`` with
+    ``egl``/video on).  ``xs [T, 3]`` / ``quats [T, 4]`` are the rollout
+    trace's COM poses; ``com`` is the body's COM offset in its own frame
+    (``RigidBodySpec.com``) so the rendered cloud sits at the true
+    object pose.  Restores the target's pose afterwards."""
+    t = objects[target_idx]
+    old_pose = t.pose_mat.copy()
+    com = np.zeros(3) if com is None else np.asarray(com)
+    frames = []
+    try:
+        for i in range(0, len(xs), every):
+            r = _quat_to_mat_np(quats[i])
+            pose = np.eye(4)
+            pose[:3, :3] = r
+            pose[:3, 3] = np.asarray(xs[i]) - r @ com
+            t.update_pose(pose)
+            frames.append(render_frame(model, objects, configs[i], **kw))
+    finally:
+        t.update_pose(old_pose)
+    return frames
+
+
 def write_video(frames, path: str, fps: int = 10):
     """MJPG video via cv2 if present, else an .npz frame dump
     (reference ``make_video_writer``, ``omg/config.py:190-196``)."""

@@ -138,6 +138,25 @@ def test_render_frame():
     assert img.std() > 1  # actually drew something
 
 
+def test_render_execution_replay():
+    """Physics-replay frames: the target follows the trace poses and its
+    scene pose is restored afterwards."""
+    pytest.importorskip("matplotlib")
+    from omg_planner_tpu.models import panda
+    from omg_planner_tpu.viz.render import render_execution
+    model = panda.load_panda()
+    objs = [make_primitive("mug", "cylinder", [0.04, 0.1],
+                           pose_at([0.5, 0, 0.3]))]
+    old = objs[0].pose_mat.copy()
+    q = np.array([0, -1.2, 0, -2.3, 0, 1.5, 0.8, 0.04, 0.04])
+    configs = np.tile(q, (40, 1))
+    xs = np.linspace([0.5, 0, 0.3], [0.5, 0, 0.6], 40)
+    quats = np.tile([1.0, 0, 0, 0], (40, 1))
+    frames = render_execution(model, objs, 0, configs, xs, quats, every=20)
+    assert len(frames) == 2 and frames[0].shape == (480, 640, 3)
+    np.testing.assert_allclose(objs[0].pose_mat, old)  # pose restored
+
+
 def test_camera_observation():
     from omg_planner_tpu.viz.camera import (back_project,
                                             render_point_observation)
