@@ -28,6 +28,12 @@ serializes plans anyway):
   "info": {reach, collide, smooth, execute}, "timings": {stage_s, plan_s},
   "n_goals"}``; 422 when the goal set is empty (reference's IK-FAIL
   "planning not run" path, ``omg/planner.py:651-652``).
+* ``POST /execute`` -> same body as ``/plan`` (plus optional
+  ``"density"``): plans AND replays the plan in the native physics
+  stepper, returning the plan response plus ``"execution"`` (the lift
+  reward scorecard, :class:`omg_planner_tpu.physics.PhysExecReport`) —
+  a served request can be gated on the SIMULATED outcome, not just the
+  planner's verdict.
 """
 
 from __future__ import annotations
@@ -108,6 +114,34 @@ def plan_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
     }
 
 
+def execute_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
+    """Handle /execute: plan, then replay the plan in the native physics
+    stepper (:mod:`omg_planner_tpu.physics`) and attach the lift-reward
+    scorecard.  The reference's analogue is ``bullet/panda_scene.py``'s
+    plan-then-execute loop; serving it lets a client gate on the
+    SIMULATED grasp outcome."""
+    code, payload = plan_request(body, base_cfg)
+    if code != 200:
+        return code, payload
+    if not payload["flag"]:
+        payload["execution"] = {"reward": 0, "skipped": "plan failed"}
+        return 200, payload
+    from ..physics import execute_plan
+
+    overrides = body.get("cfg", {})
+    cfg = base_cfg.replace(**overrides) if overrides else base_cfg
+    scene = _build_scene(cfg, body)          # staging caches make this cheap
+    t0 = time.time()
+    try:
+        rep = execute_plan(scene, np.asarray(payload["traj"]),
+                           density=float(body.get("density", 300.0)))
+        payload["execution"] = rep.to_dict()
+    except ValueError as e:                  # no mass model for this target
+        payload["execution"] = {"reward": 0, "skipped": str(e)}
+    payload["timings"]["exec_s"] = round(time.time() - t0, 4)
+    return 200, payload
+
+
 def plan_batch_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
     """Handle /plan_batch: ``{"scenes": [<plan body>, ...],
     "pipeline_depth": int}``.  Scenes run through the PIPELINED executor
@@ -171,7 +205,10 @@ def make_server(port: int, cfg: OMGConfig) -> HTTPServer:
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path not in ("/plan", "/plan_batch"):
+            routes = {"/plan": plan_request,
+                      "/plan_batch": plan_batch_request,
+                      "/execute": execute_request}
+            if self.path not in routes:
                 self._send(404, {"error": "unknown path"})
                 return
             n = int(self.headers.get("Content-Length", 0))
@@ -180,8 +217,7 @@ def make_server(port: int, cfg: OMGConfig) -> HTTPServer:
             except json.JSONDecodeError as e:
                 self._send(400, {"error": f"bad json: {e}"})
                 return
-            handler = (plan_batch_request if self.path == "/plan_batch"
-                       else plan_request)
+            handler = routes[self.path]
             try:
                 code, payload = handler(body, cfg)
             except Exception as e:  # keep the server alive

@@ -94,5 +94,13 @@ def test_serve_plan_roundtrip():
         # batch errors surface as 400s
         code6, out6 = _post("/plan_batch", {"scenes": []})
         assert code6 == 400
+
+        # physics-gated endpoint: plan + simulated lift scorecard
+        code7, out7 = _post("/execute", _scene_body())
+        assert code7 == 200, out7
+        assert "execution" in out7 and "reward" in out7["execution"]
+        if out7["flag"]:
+            assert out7["execution"]["reward"] in (0, 1)
+            assert out7["timings"]["exec_s"] > 0
     finally:
         srv.shutdown()
