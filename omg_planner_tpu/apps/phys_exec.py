@@ -52,6 +52,11 @@ def main(argv=None):
     ap.add_argument("--out", default="")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--density", type=float, default=300.0)
+    ap.add_argument("--pinch", type=float, default=0.0,
+                    help="finger motor stall force override, N (0 = "
+                         "model default; the reference's PyBullet "
+                         "harness drives fingers at 250 N, "
+                         "panda_gripper.py:43)")
     ap.add_argument("--cascade", action="store_true",
                     help="recover plan failures with the production "
                          "escalation cascade (goal-blacklist retries + "
@@ -100,10 +105,16 @@ def main(argv=None):
         t0 = time.time()
         want_video = bool(args.video) and not any(
             r.get("executed") for r in rows)
+        params = None
+        if args.pinch > 0:
+            import jax.numpy as jnp
+            from omg_planner_tpu.physics import rigid
+            params = rigid.default_params()._replace(
+                pinch_force=jnp.asarray(args.pinch, jnp.float32))
         try:
             out = execute_plan(scene, np.asarray(res.traj),
                                density=args.density, pad_statics=pad,
-                               return_trace=want_video)
+                               params=params, return_trace=want_video)
             rep, trace = out if want_video else (out, None)
             row.update(executed=True, exec_wall_s=round(time.time() - t0, 2),
                        **rep.to_dict())
