@@ -1,10 +1,13 @@
-"""Demonstration generation: plan random scenes, keep successes.
+"""Demonstration generation: plan random scenes, keep EXECUTED successes.
 
-Reference ``bullet/gen_data.py:52-167`` loops random scenes, plans, executes
-in PyBullet, and saves trajectories that succeed.  Here success is the
-planner's ``execute`` criterion (collision-free + smooth,
-``omg/cost.py:501-503``); physics-in-the-loop validation runs through
-``bullet_exec`` when pybullet is installed.
+Reference ``bullet/gen_data.py:52-167`` loops random scenes, plans,
+executes in PyBullet, and saves only trajectories whose lift REWARD is
+positive (``:153`` — ``if rew > 0``).  This mirrors that exactly: each
+planned grasp is replayed in the native physics stepper
+(:mod:`omg_planner_tpu.physics`) and kept only if the simulated lift
+scores reward 1; the reward and lifted height ride along in the saved
+demo.  ``sim_verify=False`` falls back to the planner's ``execute``
+criterion alone (collision-free + smooth, ``omg/cost.py:501-503``).
 
 Usage:  python -m omg_planner_tpu.apps.gen_demos -n 20 -o data/demos
 """
@@ -23,11 +26,13 @@ from ..planner.scene import PlanningScene
 
 def generate(n_scenes: int, out_dir: str, cfg: OMGConfig | None = None,
              n_obstacles: int = 3, fast: bool = True,
-             observations: bool = False) -> int:
+             observations: bool = False, sim_verify: bool = True) -> int:
     """``observations=True`` records the RGB/depth/segmentation frame of
     each kept scene (the reference stores rendered observations with its
     demonstrations, ``bullet/gen_data.py:30-43``; RGB from
-    ``viz/raster.py``)."""
+    ``viz/raster.py``).  ``sim_verify=True`` (default) keeps only demos
+    whose grasp LIFTS in the physics stepper, the reference's ``rew > 0``
+    filter (``gen_data.py:153``)."""
     cfg = cfg or OMGConfig(silent=True)
     os.makedirs(out_dir, exist_ok=True)
     kept = 0
@@ -37,6 +42,16 @@ def generate(n_scenes: int, out_dir: str, cfg: OMGConfig | None = None,
         res = scene.step(fast=fast)
         if res is None or not bool(res.info.execute):
             continue
+        rep = None
+        if sim_verify:
+            from ..physics import execute_plan
+
+            try:
+                rep = execute_plan(scene, np.asarray(res.traj))
+            except ValueError:      # no mass model: planner verdict only
+                rep = None
+            if rep is not None and rep.reward != 1:
+                continue            # planned fine but does not lift: drop
         goals = np.asarray(scene.goal_set.grasps)[
             np.asarray(scene.goal_set.mask)]
         meta = {
@@ -44,6 +59,9 @@ def generate(n_scenes: int, out_dir: str, cfg: OMGConfig | None = None,
             "names": np.array([o.name for o in scene.env.objects]),
             "target": np.array(scene.env.target.name),
         }
+        if rep is not None:
+            meta["sim_reward"] = np.array(rep.reward)
+            meta["sim_lifted_m"] = np.array(rep.lifted_m)
         obs = None
         if observations:
             from ..viz.raster import render_rgb
@@ -66,11 +84,15 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--obs", action="store_true",
                     help="record RGB/depth/seg observation frames")
+    ap.add_argument("--no-sim", action="store_true",
+                    help="skip physics verification (keep on the "
+                         "planner's execute verdict alone)")
     args = ap.parse_args()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    kept = generate(args.n, args.out, observations=args.obs)
+    kept = generate(args.n, args.out, observations=args.obs,
+                    sim_verify=not args.no_sim)
     print(f"saved {kept}/{args.n} successful demonstrations to {args.out}")
 
 

@@ -38,6 +38,10 @@ def test_gen_demos(tmp_path):
     d = dict(np.load(files[0], allow_pickle=True))
     assert d["traj"].shape[1] == 9
     assert len(d["goals"]) >= 1
+    # kept demos are PHYSICS-verified (the reference's rew > 0 filter,
+    # gen_data.py:153): the simulated lift reward rides along
+    assert int(d["scene_sim_reward"]) == 1
+    assert float(d["scene_sim_lifted_m"]) > 0.05
 
 
 def test_suite_runner_resumes(tmp_path):
