@@ -115,3 +115,24 @@ def test_kitchen_script_grammar_end_to_end(tmp_path):
                           - np.array([0.52, -0.18 + 0.25])) < 0.15
     move = results[2][2]
     assert move is not None and np.isfinite(np.asarray(move.traj)).all()
+
+
+def test_kitchen_exec_scores_steps():
+    """``run_script(execute=True)`` attaches physics scorecards to pick
+    and place steps (the reference executes every kitchen step in its
+    PyBullet world)."""
+    from omg_planner_tpu.apps import kitchen
+    from omg_planner_tpu.config import OMGConfig
+
+    cfg = OMGConfig(silent=True, optim_steps=12, extra_smooth_steps=4,
+                    goal_set_max_num=10, ik_seed_num=2, ik_max_iters=25,
+                    learner_interp_steps=8)
+    scene = kitchen.kitchen_scene(cfg)
+    results, reports = kitchen.run_script(
+        scene, [("T", "mug"), ("P", [0.0, 0.25, 0.0])], fast=True,
+        execute=True)
+    assert [r[0] for r in results] == ["pick", "place"]
+    assert 0 in reports and "lifted_m" in reports[0]
+    assert reports[0]["reward"] == 1, reports[0]      # the pick lifts
+    assert 1 in reports and "place_err_xy_m" in reports[1]
+    assert reports[1]["carried"] == 1, reports[1]     # transported in-grip
