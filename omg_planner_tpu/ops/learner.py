@@ -398,7 +398,13 @@ def update_goal(
     restrict = (sweep_restricted(cfg, goal_set.capacity)
                 # a state built without active lanes (direct
                 # init_learner_state callers) falls back to the full sweep
-                and state.active_idx.shape[0] > 0)
+                and state.active_idx.shape[0] > 0
+                # a caller-supplied cost override is AUTHORITATIVE: the
+                # active-lane ranking would score lanes by the built-in
+                # raw sweep and silently drop the injection (the sharded
+                # path passes cv_fn=None when restricted, so only user
+                # overrides reach here)
+                and cv_fn is None)
     if cfg.ol_alg == "Proj":
         state = update_goal_dist(cfg, state, jnp.zeros(goal_set.capacity),
                                  goal_set, traj[-1])

@@ -287,8 +287,10 @@ def _learner_step(model, cfg, hp, problem: PlanProblem, traj, goal_idx,
         _, lstate, goal_idx = args
         return lstate, goal_idx
 
-    sweep_collective = (cv_fn is not None and not ol.sweep_restricted(
-        cfg, problem.goal_set.capacity))
+    # any injected cv_fn may contain collectives (the goal-sharded path's
+    # gathered sweep) — run it unconditionally and mask, never inside the
+    # cond (collectives in a conditional branch are unsafe under SPMD)
+    sweep_collective = cv_fn is not None
     if sweep_collective:
         new_lstate, new_goal = run((traj, lstate, goal_idx))
         lstate = jax.tree.map(
@@ -306,7 +308,10 @@ def _learner_init(model, cfg, hp, problem: PlanProblem, cv_fn):
     learner0 = ol.init_learner_state(
         problem.goal_set, cfg.learner_active_goals if restrict else 0)
     if _learner_enabled(cfg):
-        if cv_fn is not None and not restrict:
+        if cv_fn is not None:
+            # a caller-supplied cost override is authoritative even under
+            # the active-lane restriction (update_goal bypasses the lanes
+            # for cv_fn too — the lane state below then stays unused)
             cv0 = cv_fn(traj0, jnp.asarray(0.0), problem.goal_set.mask)
         else:
             # restricted init ranks ALL lanes — under sharding this runs
