@@ -36,6 +36,15 @@ stacks are ~100 MB+ per scene on device, so staging all 100 at once would
 swamp HBM; per-chip planning is sequential either way (lax.map batches
 run scenes serially on-chip — DESIGN.md §3b).  All scenes share one
 padded SDF shape so every jitted program compiles exactly once.
+
+Artifact integrity (round 5, VERDICT r4 item 1): the remote tunnel can
+congest without erroring, producing slow *successes* that corrupted
+``BENCH_r04.json`` (pipelined 1.36 vs a healthy 31.8 on the same chip).
+The pipelined pass is now sampled >=2x with a sanity invariant
+(pipelined >= serial estimate) that re-measures on violation; the JSON
+carries ``e2e_variance`` (all samples + band), ``e2e_suspect`` (every
+sample below the serial bound), and ``tunnel_health_ms`` (timed tiny
+dispatches pre/post) so an anomalous run self-labels.
 """
 
 import argparse
@@ -59,6 +68,29 @@ def retry_transient(fn, what, attempts=4, wait_s=75.0):
     (shared helper: ``omg_planner_tpu.utils.timing.retry_transient``)."""
     from omg_planner_tpu.utils.timing import retry_transient as rt
     return rt(fn, what, attempts=attempts, wait_s=wait_s, log=log)
+
+
+def tunnel_health(reps=10):
+    """Round-trip latency of a tiny fixed dispatch, in ms (median, p90).
+
+    ``retry_transient`` only sees *exceptions*; a congested-but-working
+    tunnel produces slow successes it cannot catch — exactly how
+    ``BENCH_r04.json`` shipped a 27x-understated e2e (1.36 vs a healthy
+    31.8 plans/s on the same chip).  This probe timestamps the tunnel
+    itself so an anomalous run self-labels in the artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(f(x))  # compile outside the clock
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts.append(1000.0 * (time.perf_counter() - t0))
+    return {"median_ms": round(float(np.median(ts)), 3),
+            "p90_ms": round(float(np.percentile(ts, 90)), 3)}
 
 
 def main():
@@ -105,6 +137,9 @@ def main():
     cfg_full = cfg.replace(pre_terminate=False)
     model = panda.load_panda(collision_point_num=cfg.collision_point_num)
     plan_one = jax.jit(plan_fast, static_argnums=(1,))
+
+    health_pre = retry_transient(tunnel_health, "tunnel health probe")
+    log(f"[bench] tunnel health (pre): {health_pre}")
 
     n = args.scenes
     setup_t0 = time.time()
@@ -194,11 +229,22 @@ def main():
     # bench-only loop while the runner executed serially; round 3 made the
     # overlap the real path (VERDICT r2 item 5).  The depth-limited window
     # keeps device memory O(depth) scenes, so grid backends pipeline too.
+    # serial estimate needed up front for the pipelined sanity invariant
+    warm_build_est = float(np.median(build_walls[1:] or build_walls))
+    serial_e2e_est = 1.0 / (warm_build_est + float(np.mean(early_walls)))
+
     pipe_rate = None
+    pipe_samples = []
+    e2e_suspect = False
     if not args.skip_pipelined:
         from omg_planner_tpu.planner.runner import plan_pipelined
 
-        def pipelined():
+        # Test hook (VERDICT r4 item 1 "deliberately-degraded rerun"):
+        # seconds of artificial per-scene stall injected into pass 1 only,
+        # to demonstrate the re-measure path end-to-end.
+        test_degrade = float(os.environ.get("OMG_BENCH_TEST_DEGRADE", "0"))
+
+        def pipelined(extra_sleep=0.0):
             t0 = time.time()
             k = 0
             # build_batch pinned 0: the vmapped build waves win 1.58x
@@ -210,11 +256,56 @@ def main():
                     depth=8 if args.backend == "analytic" else 3,
                     pad_to=pad_to, max_obj=max_obj):
                 k += 1
+                if extra_sleep:
+                    time.sleep(extra_sleep)
             return k / (time.time() - t0)
 
-        pipe_rate = retry_transient(pipelined, "pipelined pass")
+        def measure(tag, extra_sleep=0.0):
+            r = retry_transient(lambda: pipelined(extra_sleep),
+                                f"pipelined pass ({tag})")
+            log(f"[bench] pipelined ({tag}): {r:.3f} plans/s end-to-end")
+            return r
+
+        # BENCH_r04.json shipped pipelined=1.36 vs serial=7.09 in the SAME
+        # run — physically impossible for this pipeline (it executes the
+        # serial path with staging overlapped) and invisible to
+        # retry_transient (a congested tunnel yields slow *successes*).
+        # Defense: sample 2x, re-measure (logged) while the set is
+        # inconsistent — any sample below the serial estimate, or a >1.5x
+        # spread — then drop known-corrupt samples and report the band.
+        pipe_samples.append(measure("pass 1", extra_sleep=test_degrade))
+        pipe_samples.append(measure("pass 2"))
+
+        def inconsistent(samples):
+            # judge spread over clean samples only: one corrupt sample
+            # must cost at most one re-measure, not keep re-triggering
+            clean = [s for s in samples if s >= serial_e2e_est]
+            if len(clean) < 2:
+                return True
+            return max(clean) > 1.5 * min(clean)
+
+        while inconsistent(pipe_samples) and len(pipe_samples) < 4:
+            log(f"[bench] e2e samples inconsistent "
+                f"(samples={['%.2f' % s for s in pipe_samples]}, "
+                f"serial_est={serial_e2e_est:.2f}) — re-measuring "
+                f"(tunnel transient suspected)")
+            pipe_samples.append(measure(f"re-measure {len(pipe_samples)}"))
+
+        # pipelined < serial is impossible when healthy: such samples are
+        # corrupt if ANY healthy sample exists; otherwise keep them but
+        # flag the whole artifact as suspect.
+        clean = [s for s in pipe_samples if s >= serial_e2e_est]
+        used = clean or pipe_samples
+        pipe_rate = float(np.median(used))
+        e2e_suspect = not clean
+        if e2e_suspect:
+            log(f"[bench] WARNING: every pipelined sample is below the "
+                f"serial estimate {serial_e2e_est:.2f} — artifact flagged "
+                f"e2e_suspect (congested tunnel or real regression)")
         log(f"[bench] pipelined (production runner path): "
-            f"{pipe_rate:.3f} plans/s end-to-end")
+            f"{pipe_rate:.3f} plans/s end-to-end "
+            f"(median of {len(used)}/{len(pipe_samples)} samples, "
+            f"band {min(pipe_samples):.2f}-{max(pipe_samples):.2f})")
 
     # Escalation cascade (planner/cascade.py): FAIL verdicts re-plan on the
     # exact grid backend — measured to lift suite success above the exact
@@ -277,6 +368,9 @@ def main():
             f"{casc_e2e:.3f} plans/s e2e (primary {primary_wall:.1f}s + "
             f"fallback {casc_wall:.1f}s for {len(failed)} scenes)")
 
+    health_post = retry_transient(tunnel_health, "tunnel health probe")
+    log(f"[bench] tunnel health (post): {health_post}")
+
     warm_build_s = float(np.median(build_walls[1:] or build_walls))
     early_rate = len(early_walls) / float(np.sum(early_walls))
     p50_ms = 1000.0 * float(np.median(early_walls))
@@ -318,6 +412,12 @@ def main():
         "serial_e2e_plans_per_s": round(serial_e2e, 3),
         "pipelined_plans_per_s": (round(pipe_rate, 3)
                                   if pipe_rate else None),
+        "e2e_variance": ({"samples": [round(s, 3) for s in pipe_samples],
+                          "min": round(min(pipe_samples), 3),
+                          "max": round(max(pipe_samples), 3)}
+                         if pipe_samples else None),
+        "e2e_suspect": e2e_suspect,
+        "tunnel_health_ms": {"pre": health_pre, "post": health_post},
         "p50_plan_latency_ms": round(p50_ms, 2),
         "mean_plan_latency_ms": round(1000 * mean_plan_s, 2),
         "warm_goal_set_build_s": round(warm_build_s, 3),
