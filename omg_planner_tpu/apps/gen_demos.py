@@ -44,11 +44,11 @@ def generate(n_scenes: int, out_dir: str, cfg: OMGConfig | None = None,
             continue
         rep = None
         if sim_verify:
-            from ..physics import execute_plan
+            from ..physics import NoMassModelError, execute_plan
 
             try:
                 rep = execute_plan(scene, np.asarray(res.traj))
-            except ValueError:      # no mass model: planner verdict only
+            except NoMassModelError:  # no mass model: planner verdict only
                 rep = None
             if rep is not None and rep.reward != 1:
                 continue            # planned fine but does not lift: drop
@@ -91,6 +91,10 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # physics verification runs host-side (6x faster than the tunnel)
+        from ..physics import ensure_cpu_backend
+        ensure_cpu_backend()
     kept = generate(args.n, args.out, observations=args.obs,
                     sim_verify=not args.no_sim)
     print(f"saved {kept}/{args.n} successful demonstrations to {args.out}")

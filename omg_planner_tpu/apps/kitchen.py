@@ -160,6 +160,10 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    elif args.execute:
+        # --exec rollouts run host-side (6x faster than the tunnel)
+        from ..physics import ensure_cpu_backend
+        ensure_cpu_backend()
 
     cfg = OMGConfig(silent=False)
     scene = kitchen_scene(cfg)

@@ -70,9 +70,14 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # rollouts run host-side by default (6x faster than the tunnel);
+        # planning stays on the ambient device
+        from omg_planner_tpu.physics import ensure_cpu_backend
+        ensure_cpu_backend()
 
     from omg_planner_tpu.config import OMGConfig
-    from omg_planner_tpu.physics import execute_plan
+    from omg_planner_tpu.physics import NoMassModelError, execute_plan
     from omg_planner_tpu.planner.scene import PlanningScene
 
     cfg = OMGConfig(silent=True)          # production defaults
@@ -120,7 +125,7 @@ def main(argv=None):
                        **rep.to_dict())
             if trace is not None:
                 _write_replay(scene, trace, args)
-        except ValueError as e:           # no mass model for this target
+        except NoMassModelError as e:     # no mass model for this target
             row.update(executed=False, reward=0, skip_reason=str(e))
         rows.append(row)
         print(f"scene {sid}: plan ok ({t_plan:.1f}s) -> reward "

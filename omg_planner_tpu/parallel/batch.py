@@ -200,6 +200,11 @@ def _plan_goal_sharded(model, cfg, problem: PlanProblem, axis: str,
             gs_local, t, problem.world_potential)
         return ol.finalize_cost_vector(cfg, gather(raw), mask)
 
+    # the all_gather above means this sweep may NOT sit inside a lax.cond
+    # branch (plan.py gates collective-free sweeps on step < optim_steps);
+    # declare it so single-chip overrides keep the gated skip
+    cv_fn.collective = True
+
     if ol.sweep_restricted(cfg, gs_global.grasps.shape[0]):
         # active-lane restriction (cfg.learner_active_goals, the production
         # default): the per-step sweep touches only K lanes — too small to

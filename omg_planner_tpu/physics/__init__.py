@@ -16,13 +16,15 @@ Modules:
     mirroring ``bullet_execute_plan`` / ``PandaYCBEnv.retract``.
 """
 
-from .rigid import (BodyState, PhysParams, RigidBodySpec, StaticWorld,
-                    body_spec_from_grid, body_spec_from_primitive, rollout)
-from .executor import (PhysExecReport, PlaceExecReport, execute_plan,
-                       execute_place)
+from .rigid import (BodyState, NoMassModelError, PhysParams, RigidBodySpec,
+                    StaticWorld, body_spec_from_grid,
+                    body_spec_from_primitive, rollout)
+from .executor import (PhysExecReport, PlaceExecReport, ensure_cpu_backend,
+                       execute_plan, execute_place)
 
 __all__ = [
-    "BodyState", "PhysParams", "RigidBodySpec", "StaticWorld",
-    "body_spec_from_grid", "body_spec_from_primitive", "rollout",
-    "PhysExecReport", "PlaceExecReport", "execute_plan", "execute_place",
+    "BodyState", "NoMassModelError", "PhysParams", "RigidBodySpec",
+    "StaticWorld", "body_spec_from_grid", "body_spec_from_primitive",
+    "rollout", "PhysExecReport", "PlaceExecReport", "ensure_cpu_backend",
+    "execute_plan", "execute_place",
 ]

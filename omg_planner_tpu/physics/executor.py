@@ -30,7 +30,9 @@ docs/DESIGN.md §7):
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -42,6 +44,49 @@ from ..utils.pose import mat_to_quat
 from . import rigid
 
 
+def ensure_cpu_backend() -> None:
+    """Make the CPU backend available ALONGSIDE the ambient platform.
+
+    The rollout is a ~1700-substep sequential ``lax.scan`` — latency-
+    bound, measured ~6x faster on host CPU (0.4 s) than over the remote-
+    TPU tunnel (2.5 s warm, DESIGN §7 item 12).  The ambient env pins
+    ``JAX_PLATFORMS=axon`` (TPU only); extending it to ``axon,cpu``
+    keeps the TPU the default device for planning while letting the
+    physics jits place on CPU.  Must run BEFORE the first jax op; a
+    no-op when CPU is already listed or no platform is pinned."""
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if not plats or "cpu" in plats.split(","):
+        return
+    os.environ["JAX_PLATFORMS"] = plats + ",cpu"
+    try:
+        jax.config.update("jax_platforms", plats + ",cpu")
+    except Exception:
+        pass  # backends already initialized: library fallback handles it
+
+
+def _phys_ctx():
+    """Device context for the physics jits: host CPU when a CPU backend
+    is initialized (the measured-faster default — ADVICE r4 #1), the
+    ambient device otherwise.  ``OMG_PHYS_DEVICE=ambient`` opts back
+    into the ambient platform (the TPU A/B knob)."""
+    if os.environ.get("OMG_PHYS_DEVICE", "cpu").lower() != "cpu":
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
+def _on_phys_device(fn):
+    """Run an execution entry point under :func:`_phys_ctx`."""
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with _phys_ctx():
+            return fn(*a, **k)
+    return wrapped
+
+
 def _body_spec_for(target, density: float, cfg=None) -> rigid.RigidBodySpec:
     """Dynamic-body spec for a scene object: analytic primitives use the
     closed-form SDF; mesh-pipeline objects (data-backed grids) use the
@@ -51,8 +96,9 @@ def _body_spec_for(target, density: float, cfg=None) -> rigid.RigidBodySpec:
         return rigid.body_spec_from_primitive(
             int(ana[0]), np.asarray(ana[1]), density=density)
     if target.points is None:
-        raise ValueError("data-backed target needs surface points for "
-                         "world contact candidates")
+        raise rigid.NoMassModelError(
+            "data-backed target needs surface points for "
+            "world contact candidates")
     penal = float(getattr(cfg, "penalize_constant", 5.0) or 5.0)
     return rigid.body_spec_from_grid(
         target.sdf, np.asarray(target.points), density=density,
@@ -273,12 +319,17 @@ def _config_track(traj: np.ndarray, lift_qs: np.ndarray, jv_ref: np.ndarray,
         segs.append(prev[None] + (ql - prev)[None] * t)
     segs.append(lift_qs[-1][None])
     configs = np.concatenate(segs).astype(np.float32)
-    jv_cmd = np.clip(configs[:, -2:], 0.0, None).astype(np.float32)
+    # clip to the Panda finger joint range [0, 0.04] like jv_ref: an
+    # out-of-range plan column must not command an opening past the limit
+    # (it would skew the motor-rate close timing vs the reference's
+    # position controller) — ADVICE r4 #4
+    jv_cmd = np.clip(configs[:, -2:], 0.0, 0.04).astype(np.float32)
     jv_cmd[playback_end:] = 0.0
     configs[:, -2:] = np.asarray(jv_ref, np.float32)[None]
     return configs, jv_cmd, playback_end
 
 
+@_on_phys_device
 def execute_plan(scene, traj: np.ndarray,
                  params: rigid.PhysParams | None = None,
                  lift_height: float = 0.3,
@@ -413,6 +464,7 @@ def _hold_width_pens(spec, state, pad, pad_axis, pad_samples, jv_ref, grid):
     return jax.vmap(pen_at)(grid)
 
 
+@_on_phys_device
 def execute_place(scene, traj: np.ndarray, place_pose: np.ndarray,
                   rel_hand_pose: np.ndarray,
                   params: rigid.PhysParams | None = None,

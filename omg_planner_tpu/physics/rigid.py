@@ -49,6 +49,14 @@ from ..ops.sdf import _analytic_sdf_grad
 from ..utils.pose import quat_to_mat
 
 
+class NoMassModelError(ValueError):
+    """The target has no buildable mass model (no interior voxels / no
+    surface points) — execution is impossible, the planner verdict
+    stands alone.  Drivers catch exactly this (ADVICE r4 #2: a bare
+    ``except ValueError`` also swallowed shape/validation bugs inside
+    the rollout)."""
+
+
 class PhysParams(NamedTuple):
     """Solver constants (a pytree of scalars; changing values does not
     recompile)."""
@@ -321,7 +329,8 @@ def body_spec_from_grid(field, surf_pts: np.ndarray,
     inside = data < 0.0
     n_in = int(inside.sum())
     if n_in == 0:
-        raise ValueError("grid SDF has no interior voxels: no mass model")
+        raise NoMassModelError(
+            "grid SDF has no interior voxels: no mass model")
     idx = np.argwhere(inside)
     pos = origin[None] + (idx + 0.5) * delta     # voxel centers
     dv = delta ** 3

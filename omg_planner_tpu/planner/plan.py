@@ -287,10 +287,15 @@ def _learner_step(model, cfg, hp, problem: PlanProblem, traj, goal_idx,
         _, lstate, goal_idx = args
         return lstate, goal_idx
 
-    # any injected cv_fn may contain collectives (the goal-sharded path's
-    # gathered sweep) — run it unconditionally and mask, never inside the
-    # cond (collectives in a conditional branch are unsafe under SPMD)
-    sweep_collective = cv_fn is not None
+    # an injected cv_fn that contains collectives (the goal-sharded
+    # path's gathered sweep) must run unconditionally and mask, never
+    # inside the cond (collectives in a conditional branch are unsafe
+    # under SPMD).  Callers declare collective-freedom by setting
+    # ``cv_fn.collective = False`` (ADVICE r4 #3: a single-chip cost
+    # override then keeps the cond-gated skip on the 20 smoothing
+    # steps); unmarked overrides default to the safe compute-then-mask.
+    sweep_collective = (getattr(cv_fn, "collective", True)
+                        if cv_fn is not None else False)
     if sweep_collective:
         new_lstate, new_goal = run((traj, lstate, goal_idx))
         lstate = jax.tree.map(

@@ -265,3 +265,60 @@ def test_mesh_target_lifts():
     rep = execute_plan(scene, np.asarray(res.traj))
     assert rep.reward == 1, rep.to_dict()
     assert rep.lifted_m > 0.2, rep.to_dict()
+
+
+def test_no_mass_model_error_is_typed():
+    """Drivers catch exactly NoMassModelError (ADVICE r4 #2: a bare
+    ``except ValueError`` also swallowed real shape bugs): the
+    points-free data-backed target raises it, and it subclasses
+    ValueError for back-compat."""
+    from omg_planner_tpu.physics import NoMassModelError
+    from omg_planner_tpu.physics.executor import _body_spec_for
+
+    class FakeField:
+        analytic = None
+
+    class FakeTarget:
+        sdf = FakeField()
+        points = None
+
+    assert issubclass(NoMassModelError, ValueError)
+    with pytest.raises(NoMassModelError):
+        _body_spec_for(FakeTarget(), density=300.0)
+
+
+def test_finger_command_clipped_to_joint_range():
+    """A plan whose finger columns exceed 0.04 must not command an
+    opening past the Panda finger limit (ADVICE r4 #4) — jv_cmd stays
+    in [0, 0.04] like jv_ref."""
+    from omg_planner_tpu.physics.executor import _config_track
+
+    traj = np.zeros((4, 9), np.float32)
+    traj[:, -2:] = 0.1                      # out-of-range plan fingers
+    lift_qs = np.zeros((2, 9), np.float32)
+    jv_ref = np.clip(traj[0, -2:], 0.0, 0.04)
+    configs, jv_cmd, playback_end = _config_track(
+        traj, lift_qs, jv_ref, sub_plan=2, sub_close=3, sub_lift=2,
+        settle=2)
+    assert float(jv_cmd.max()) <= 0.04
+    assert float(jv_cmd.min()) >= 0.0
+    assert (jv_cmd[playback_end:] == 0.0).all()
+
+
+def test_phys_rollout_places_on_cpu_backend():
+    """The execution harness runs host-side whenever a CPU backend
+    exists (ADVICE r4 #1): under the test env (CPU platform) the
+    context must resolve to a CPU default device, and the ambient
+    opt-out must disable it."""
+    import os
+    from omg_planner_tpu.physics.executor import _phys_ctx
+
+    with _phys_ctx():
+        y = jax.jit(lambda x: x + 1)(jnp.zeros(3))
+        assert "cpu" in str(list(y.devices())[0]).lower()
+    os.environ["OMG_PHYS_DEVICE"] = "ambient"
+    try:
+        import contextlib
+        assert isinstance(_phys_ctx(), contextlib.nullcontext)
+    finally:
+        del os.environ["OMG_PHYS_DEVICE"]
