@@ -61,6 +61,12 @@ def main(argv=None):
                     help="recover plan failures with the production "
                          "escalation cascade (goal-blacklist retries + "
                          "exact-grid fallback) before executing")
+    ap.add_argument("--exec-retries", type=int, default=0,
+                    help="execution-verified planning "
+                         "(planner/exec_verify.py): on a failed simulated "
+                         "lift, blacklist the goal's neighborhood and "
+                         "re-plan, up to N times (0 = r4 behavior: "
+                         "execute the first plan once)")
     ap.add_argument("--video", default="",
                     help="write an execution-replay video (robot + "
                          "simulated target pose) of the first executed "
@@ -93,6 +99,37 @@ def main(argv=None):
     t_all = time.time()
     for sid, scene in scenes:
         t0 = time.time()
+        if args.exec_retries > 0:
+            from omg_planner_tpu.planner.exec_verify import \
+                plan_execute_verified
+
+            params = None
+            if args.pinch > 0:
+                import jax.numpy as jnp
+                from omg_planner_tpu.physics import rigid
+                params = rigid.default_params()._replace(
+                    pinch_force=jnp.asarray(args.pinch, jnp.float32))
+            out = plan_execute_verified(
+                scene, exec_retries=args.exec_retries,
+                cascade=args.cascade, density=args.density,
+                pad_statics=pad, params=params)
+            wall = round(time.time() - t0, 2)
+            row = {"scene": sid, "plan_wall_s": wall}
+            if out is None or not bool(np.asarray(out.result.flag)):
+                row.update(plan_flag=False, reward=0, executed=False)
+                print(f"scene {sid}: PLAN FAIL ({wall:.1f}s)", flush=True)
+            elif out.report is None:
+                row.update(plan_flag=True, executed=False, reward=0,
+                           skip_reason="no mass model")
+            else:
+                row.update(plan_flag=True, executed=True,
+                           exec_attempts=out.exec_attempts,
+                           verified=out.verified, **out.report.to_dict())
+                print(f"scene {sid}: plan ok -> reward {row['reward']} "
+                      f"({out.exec_attempts} exec attempts, {wall:.1f}s)",
+                      flush=True)
+            rows.append(row)
+            continue
         res = scene.step(fast=True)
         if args.cascade and (res is None or not bool(res.flag)):
             from omg_planner_tpu.planner.cascade import plan_cascade

@@ -273,6 +273,17 @@ class OMGConfig:
     # Parity runs pin False (the reference returns the final state,
     # omg/planner.py:633-648).  DESIGN §7.
     exec_snapshot: bool = True
+    # grip-quality goal ranking (framework extension; VERDICT r4 item 2):
+    # weight on the pinch-center-to-target-COM distance folded into the
+    # goal potentials at build time.  The r4 execution failures are
+    # marginal top-pinches whose pinch line sits far from the COM — the
+    # object pendulums past the 0.2 m hand gate during the lift
+    # (docs/phys_exec_r04_100.json, 9/98).  Preferring COM-proximal
+    # pinches among otherwise-equivalent goals targets exactly that
+    # class.  Units: potentials are normalized per-vector in the learner
+    # finalize, so the weight trades off against the collision potential
+    # spread; 0 disables (parity runs pin 0).
+    grip_quality_weight: float = 0.0
 
     def replace(self, **kw) -> "OMGConfig":
         return dataclasses.replace(self, **kw)

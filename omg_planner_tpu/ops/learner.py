@@ -261,8 +261,11 @@ def cost_vector_raw(
 
     potentials = (cfg.base_obstacle_weight * collision
                   + cfg.smoothness_base_weight * cfg.dist_eps * smooth)
-    if cfg.grasp_optimize:
-        # grasp-quality term baked into goal_set.potentials at build time
+    if cfg.grasp_optimize or cfg.grip_quality_weight:
+        # grasp-quality terms baked into goal_set.potentials at build time
+        # (downness under grasp_optimize; pinch-to-COM distance under
+        # grip_quality_weight — the latter rides on the collision-prune
+        # potential baseline, goal_set.py::build_goal_set)
         potentials = potentials + goal_set.potentials
     return jnp.where(goal_set.mask, potentials, 0.0)
 

@@ -292,6 +292,7 @@ class PipelineInput(NamedTuple):
     grasps_world: jnp.ndarray   # [N, 4, 4] augmented world grasp poses
     grasp_valid: jnp.ndarray    # [N]
     key: jax.Array
+    obj_pos: jnp.ndarray | None = None  # [3] target COM (grip quality)
 
 
 def make_sharded_pipeline(mesh: Mesh, model: panda.PandaModel,
@@ -314,7 +315,7 @@ def make_sharded_pipeline(mesh: Mesh, model: panda.PandaModel,
         gset = gs_mod.build_goal_set(
             model, cfg, pr.scene, pr.cost_params, inp.grasps_world,
             inp.grasp_valid, pr.start, inp.key, attached=attached,
-            solve_fn=solve_fn)
+            solve_fn=solve_fn, obj_pos=inp.obj_pos)
         end = gset.grasps[gs_mod.goal_idx_policy(cfg, gset, pr.start)]
         pr = pr._replace(goal_set=gset, end=end,
                          traj_init=init_trajectory(cfg, pr.start, end))

@@ -182,6 +182,24 @@ def sample_goals(key, valid: jnp.ndarray, capacity: int):
     return top[1], jnp.isfinite(top[0])
 
 
+def pinch_centers(model, configs: jnp.ndarray) -> jnp.ndarray:
+    """World midpoint of the two finger-pad centers at each config [C, 9]
+    -> [C, 3]: the point the pinch (closing) line passes through.  Pad
+    centers are the finger links' collision-point bounding-box centers —
+    the same pad geometry the physics executor contacts with
+    (``physics/executor._pad_geometry``), so the ranking and the
+    simulated grip agree on where the pinch actually is."""
+    from ..models import api as model_api
+
+    poses = model_api.fk_batch(model, configs)          # [C, L, 4, 4]
+    pts = model.collision_points[-2:]                   # [2, P, 3]
+    centers = (pts.min(axis=1) + pts.max(axis=1)) / 2.0  # traceable
+    pad = poses[:, -2:]                                 # [C, 2, 4, 4]
+    pc = pad[..., :3, 3] + jnp.einsum(
+        "cfab,fb->cfa", pad[..., :3, :3], centers)
+    return pc.mean(axis=1)
+
+
 def build_goal_set(
     model: panda.PandaModel,
     cfg: OMGConfig,
@@ -193,6 +211,7 @@ def build_goal_set(
     key: jax.Array,
     attached: bool = False,
     solve_fn=None,
+    obj_pos: jnp.ndarray | None = None,  # [3] target COM (world)
 ) -> GoalSet:
     """Full goal-set construction for one target object (jittable with cfg
     static).  Capacity = ``cfg.goal_set_max_num``.
@@ -299,6 +318,19 @@ def build_goal_set(
         downness = -approach_z[:, 2]  # 1 = straight down
         quality = 0.5 * (1.0 - downness)
         pot_sel = pot_sel + cfg.base_grasp_weight * quality
+
+    if cfg.grip_quality_weight and obj_pos is not None:
+        # grip-quality ranking (framework extension, VERDICT r4 item 2):
+        # penalize goals whose pinch center sits far from the target COM.
+        # A pinch line offset from the COM leaves a gravity moment arm —
+        # the held object pendulums about the contact line during the
+        # lift and swings past the reward's 0.2 m hand gate
+        # (``physics/executor.py`` reward semantics, reference
+        # ``bullet/panda_scene.py:486-504``); the r4 execution failures
+        # are all in that class (docs/phys_exec_r04_100.json).
+        com_dist = jnp.linalg.norm(
+            pinch_centers(model, grasps_sel) - obj_pos[None], axis=-1)
+        pot_sel = pot_sel + cfg.grip_quality_weight * com_dist
 
     return GoalSet(
         grasps=jnp.where(mask[:, None], grasps_sel, 0.0),

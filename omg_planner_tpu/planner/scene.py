@@ -304,7 +304,8 @@ def _goal_set_fn(cfg: OMGConfig, attached: bool, z_up: bool, y_up: bool):
             poses = gs.y_upsample_poses(poses)
         valid = jnp.ones(poses.shape[0], bool)
         goal_set = gs.build_goal_set(model, cfg, scene_sdf, params, poses,
-                                     valid, start, key, attached=attached)
+                                     valid, start, key, attached=attached,
+                                     obj_pos=obj_pos)
         gi = gs.goal_idx_policy(cfg, goal_set, start)
         end = goal_set.grasps[gi]
         return goal_set, end, plan_mod.init_trajectory(cfg, start, end)
@@ -333,7 +334,8 @@ def _goal_set_batch_fn(cfg: OMGConfig, attached: bool, z_up: bool,
             poses = gs.y_upsample_poses(poses, bins=bins)
             valid = jnp.repeat(valid, bins)
         goal_set = gs.build_goal_set(model, cfg, scene_sdf, params, poses,
-                                     valid, start, key, attached=attached)
+                                     valid, start, key, attached=attached,
+                                     obj_pos=obj_pos)
         gi = gs.goal_idx_policy(cfg, goal_set, start)
         end = goal_set.grasps[gi]
         return goal_set, end, plan_mod.init_trajectory(cfg, start, end)

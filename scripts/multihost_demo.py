@@ -59,7 +59,8 @@ def child(process_id: int):
         local_inputs.append(PipelineInput(
             problem=problem, grasps_world=grasps_world,
             grasp_valid=jnp.ones(grasps_world.shape[0], bool),
-            key=jax.random.PRNGKey(sid)))
+            key=jax.random.PRNGKey(sid),
+            obj_pos=jnp.asarray(env.target.pose_mat[:3, 3], jnp.float32)))
     batch = host_local_batch(mesh, local_inputs)
 
     fn = make_sharded_pipeline(mesh, model, cfg)

@@ -1,0 +1,87 @@
+"""Execution-verified planning (``planner/exec_verify.py``): the
+simulated lift drives goal-blacklist replans — the round-5 lever that
+recovers the r4 execution failures (VERDICT r4 item 2)."""
+
+import numpy as np
+import pytest
+
+from omg_planner_tpu.config import OMGConfig
+from omg_planner_tpu.planner.exec_verify import (ExecVerifiedOut,
+                                                 plan_execute_verified)
+from omg_planner_tpu.planner.scene import PlanningScene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cfg = OMGConfig(silent=True, optim_steps=15, extra_smooth_steps=5,
+                    goal_set_max_num=12, ik_seed_num=3, ik_max_iters=30,
+                    learner_interp_steps=10)
+    return PlanningScene.synthetic(cfg, scene_id=0, n_obstacles=1)
+
+
+def test_verified_on_first_attempt(scene):
+    out = plan_execute_verified(scene, exec_retries=2)
+    assert out is not None and out.verified
+    assert out.exec_attempts == 1
+    assert out.report.reward == 1
+
+
+def test_failed_lift_triggers_goal_blacklist_replan(scene, monkeypatch):
+    """First execution 'fails', the loop must blacklist + replan and the
+    second execution 'succeeds' — exercised by stubbing the stepper."""
+    import omg_planner_tpu.physics as phys
+
+    calls = {"n": 0, "trajs": []}
+    real_report = phys.PhysExecReport(
+        reward=1, lifted_m=0.3, hand_dist_m=0.1, moved_in_playback_m=0.0,
+        grasp_impulse=0.1, finger_stop_m=0.02, lift_height_m=0.3)
+    fail_report = real_report._replace(reward=0, lifted_m=0.0,
+                                       hand_dist_m=0.5)
+
+    def fake_execute(sc, traj, **kw):
+        calls["n"] += 1
+        calls["trajs"].append(np.asarray(traj).copy())
+        return fail_report if calls["n"] == 1 else real_report
+
+    monkeypatch.setattr(phys, "execute_plan", fake_execute)
+    out = plan_execute_verified(scene, exec_retries=2)
+    assert out.verified and out.exec_attempts == 2
+    # the retry executed a DIFFERENT trajectory (new goal)
+    assert not np.allclose(calls["trajs"][0], calls["trajs"][1])
+
+
+def test_exhaustion_returns_least_bad(scene, monkeypatch):
+    import omg_planner_tpu.physics as phys
+
+    calls = {"n": 0}
+    reports = [
+        phys.PhysExecReport(0, 0.0, 0.5, 0.0, 0.1, 0.02, 0.3),
+        phys.PhysExecReport(0, 0.2, 0.25, 0.0, 0.1, 0.02, 0.3),  # best
+        phys.PhysExecReport(0, 0.0, 0.6, 0.0, 0.1, 0.02, 0.3),
+    ]
+
+    def fake_execute(sc, traj, **kw):
+        r = reports[min(calls["n"], len(reports) - 1)]
+        calls["n"] += 1
+        return r
+
+    monkeypatch.setattr(phys, "execute_plan", fake_execute)
+    out = plan_execute_verified(scene, exec_retries=2)
+    assert isinstance(out, ExecVerifiedOut)
+    assert not out.verified
+    assert out.exec_attempts == calls["n"]
+    # least-bad by (hand_dist, -lifted): the second report
+    assert out.report.hand_dist_m == pytest.approx(0.25)
+
+
+def test_no_mass_model_returns_unverified(scene, monkeypatch):
+    import omg_planner_tpu.physics as phys
+
+    def raise_nmm(sc, traj, **kw):
+        raise phys.NoMassModelError("stub")
+
+    monkeypatch.setattr(phys, "execute_plan", raise_nmm)
+    out = plan_execute_verified(scene, exec_retries=2)
+    assert out is not None and not out.verified
+    assert out.report is None
+    assert bool(np.asarray(out.result.flag))

@@ -107,3 +107,31 @@ def test_grasp_optimize_prefers_top_down():
     # the quality term strictly increases potentials (quality >= 0)
     assert float(np.array(g2.potentials)[m2].mean()) >= \
         float(np.array(g1.potentials)[m1].mean()) - 1e-6
+
+
+def test_grip_quality_weight_shifts_potentials():
+    """cfg.grip_quality_weight folds the pinch-center-to-COM distance
+    into the goal potentials (VERDICT r4 item 2); selection and masks
+    are unchanged, potentials shift by weight * distance."""
+    import numpy as np
+    from omg_planner_tpu.planner.scene import PlanningScene
+    from omg_planner_tpu.planner.goal_set import pinch_centers
+
+    base = OMGConfig(silent=True, optim_steps=5, extra_smooth_steps=2,
+                     goal_set_max_num=10, ik_seed_num=3, ik_max_iters=25,
+                     learner_interp_steps=8)
+    outs = {}
+    for w in (0.0, 5.0):
+        sc = PlanningScene.synthetic(base.replace(grip_quality_weight=w),
+                                     scene_id=0, n_obstacles=1)
+        outs[w] = (sc, sc.build_goal_set())
+    sc0, gs0 = outs[0.0]
+    sc5, gs5 = outs[5.0]
+    assert np.array_equal(np.asarray(gs0.mask), np.asarray(gs5.mask))
+    assert np.allclose(np.asarray(gs0.grasps), np.asarray(gs5.grasps))
+    com = np.asarray(sc0.env.target.pose_mat[:3, 3])
+    pc = np.asarray(pinch_centers(sc0.model, gs0.grasps))
+    dist = np.linalg.norm(pc - com[None], axis=-1)
+    mask = np.asarray(gs0.mask)
+    got = np.asarray(gs5.potentials) - np.asarray(gs0.potentials)
+    assert np.allclose(got[mask], 5.0 * dist[mask], atol=1e-4)
