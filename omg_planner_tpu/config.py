@@ -284,6 +284,16 @@ class OMGConfig:
     # finalize, so the weight trades off against the collision potential
     # spread; 0 disables (parity runs pin 0).
     grip_quality_weight: float = 0.0
+    # parity-only: reproduce the reference's SHRINKING learner sample
+    # density (``omg/online_learner.py:109-114``: n = timesteps - start
+    # interpolation points, so late steps score goals on few samples)
+    # instead of the fixed ``num_interp`` quadrature — static shapes via
+    # per-step sample masking at ``timesteps`` capacity (VERDICT r4
+    # item 4: the fixed density is DESIGN §7 item 2's deviation and the
+    # suspected cause of the class-3 "late ranking flip" golden-parity
+    # mismatches).  Production keeps the fixed density: it is a strictly
+    # better quadrature of the same line integral.
+    parity_density: bool = False
 
     def replace(self, **kw) -> "OMGConfig":
         return dataclasses.replace(self, **kw)

@@ -203,8 +203,23 @@ def cost_vector_raw(
     traj_start = traj[start_idx]
 
     goals = goal_set.grasps  # [G, 9]
-    n = cfg.num_interp
-    interp = multi_linear_interpolate(traj_start, goals, n)  # [G, n, 9]
+    if cfg.parity_density:
+        # reference-exact SHRINKING sample density (parity mode,
+        # ``omg/online_learner.py:109-114``): n_t = timesteps - start
+        # interior samples at (k+1)/(n_t+1) — dynamic count under static
+        # ``timesteps`` capacity via masking (invalid samples score 0)
+        n = cfg.timesteps
+        n_t = cfg.timesteps - start_idx            # dynamic, in [1, T]
+        ks = jnp.arange(n)
+        u = (ks + 1.0) / (n_t + 1.0)               # [n] dynamic positions
+        sample_valid = ks < n_t                    # [n]
+        interp = (traj_start[None, None, :]
+                  + u[None, :, None]
+                  * (goals[:, None, :] - traj_start[None, None, :]))
+    else:
+        n = cfg.num_interp
+        sample_valid = None
+        interp = multi_linear_interpolate(traj_start, goals, n)  # [G,n,9]
     g = goals.shape[0]
     # FK the start + interior samples + goal of every candidate as ONE
     # batch: the arc-length boundary positions (x_start / x_goal) come from
@@ -250,8 +265,19 @@ def cost_vector_raw(
     x_start = x_full[:, 0]   # [G, 10, P, 3] (identical rows; broadcast-free)
     x_goal = x_full[:, -1]
     xs = jnp.moveaxis(x, 1, 3)  # [G, 10, P, n, 3]
-    v = get_derivative(hp, xs, x_start, x_goal, 1)
-    speed = jnp.linalg.norm(v, axis=-1)          # [G, 10, P, n]
+    if cfg.parity_density:
+        # the order-1 rule [-1, 1] is a backward difference with the
+        # start boundary (the end rows carry zero coefficients /
+        # are dropped — config.py:134-159), so the dynamic-n derivative
+        # is exact without truncating hp's static diff matrix
+        prev = jnp.concatenate(
+            [x_start[..., None, :], xs[..., :-1, :]], axis=-2)
+        v = (xs - prev) / hp.time_interval
+        speed = jnp.linalg.norm(v, axis=-1)      # [G, 10, P, n]
+        speed = speed * sample_valid[None, None, None, :]
+    else:
+        v = get_derivative(hp, xs, x_start, x_goal, 1)
+        speed = jnp.linalg.norm(v, axis=-1)      # [G, 10, P, n]
     collision = (jnp.moveaxis(pot, 1, 3) * speed).sum(axis=(1, 2, 3))  # [G]
 
     # config-space distance term: reference uses np.diff along the joint

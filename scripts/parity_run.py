@@ -91,6 +91,9 @@ def _ours_cfg():
         # the reference returns the FINAL trajectory, never a mid-run
         # executable snapshot (omg/planner.py:633-648)
         exec_snapshot=False,
+        # reference-exact shrinking learner sample density (r5, VERDICT
+        # r4 item 4: DESIGN §7 item 2 eliminated as a parity deviation)
+        parity_density=True,
     )
 
 

@@ -69,3 +69,34 @@ def test_coarse_density_would_diverge_less_than_default_margin():
     _, _, rho_default, _ = _rank_agreement(15, 30)
     _, _, rho_coarse, _ = _rank_agreement(4, 30)
     assert rho_default >= rho_coarse - 1e-9, (rho_default, rho_coarse)
+
+
+def test_parity_density_equals_fixed_at_matching_count():
+    """``cfg.parity_density`` (VERDICT r4 item 4) reproduces the
+    reference's shrinking sample count under static shapes: at step t the
+    masked dynamic-n sweep must equal the fixed-density sweep configured
+    with exactly n_t = timesteps - start samples (identical positions,
+    identical backward-difference arc weights)."""
+    cfg0 = OMGConfig(silent=True, goal_set_max_num=20, ik_seed_num=3,
+                     ik_max_iters=40)
+    scene = PlanningScene.hard(cfg0, scene_id=0)
+    problem = scene.build_problem()
+    traj = problem.traj_init
+
+    def cv(c, t):
+        return np.asarray(ol.cost_vector(
+            scene.model, problem.scene, problem.cost_params, c,
+            c.horizon(), traj, problem.goal_set, jnp.asarray(float(t)),
+            problem.world_potential))
+
+    par = cfg0.replace(parity_density=True)
+    for t in [0.0, 20.0, 40.0, 49.0]:
+        clamp = 1
+        start = min(clamp + int(t / cfg0.optim_steps * cfg0.timesteps) - 1,
+                    cfg0.timesteps - clamp)
+        start = max(start, 0)
+        n_t = cfg0.timesteps - start
+        fixed = cfg0.replace(learner_interp_steps=n_t)
+        a, b = cv(par, t), cv(fixed, t)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"t={t} n_t={n_t}")
