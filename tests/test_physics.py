@@ -322,3 +322,81 @@ def test_phys_rollout_places_on_cpu_backend():
         assert isinstance(_phys_ctx(), contextlib.nullcontext)
     finally:
         del os.environ["OMG_PHYS_DEVICE"]
+
+
+def _incline_world(theta_rad: float):
+    """A thick slab rotated about +y by ``theta`` whose TOP face passes
+    through the origin (surface normal = R @ z)."""
+    c, s = np.cos(theta_rad), np.sin(theta_rad)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+    pose = np.eye(4)
+    pose[:3, :3] = rot
+    pose[:3, 3] = rot @ np.array([0.0, 0.0, -0.5])   # top face at origin
+    return rigid.StaticWorld(
+        kinds=jnp.asarray([0], jnp.int32),
+        halfs=jnp.asarray([[1.0, 1.0, 0.5]], jnp.float32),
+        rounds=jnp.asarray([0.0], jnp.float32),
+        inv_poses=jnp.asarray([np.linalg.inv(pose)], jnp.float32),
+        mask=jnp.asarray([1.0], jnp.float32)), rot
+
+
+def _incline_slide(theta_deg: float, mu: float = 0.8) -> float:
+    """Downhill travel of a cube resting on a theta incline, after 0.5 s."""
+    theta = np.radians(theta_deg)
+    world, rot = _incline_world(theta)
+    spec = _cube_spec()
+    x0 = rot @ np.array([0.0, 0.0, 0.0305])        # resting, slight gap
+    st0 = BodyState(x=jnp.asarray(x0, jnp.float32),
+                    q=jnp.asarray(np.r_[np.cos(theta / 2), 0.0,
+                                        np.sin(theta / 2), 0.0],
+                                  jnp.float32),
+                    v=jnp.zeros(3), w=jnp.zeros(3))
+    pp = rigid.default_params()._replace(
+        mu=jnp.asarray(mu, jnp.float32),
+        damp_lin=jnp.asarray(0.0, jnp.float32),
+        damp_ang=jnp.asarray(0.0, jnp.float32))
+    final, _ = rigid.rollout(spec, world, pp, st0, _free_track(120))
+    downhill = rot @ np.array([1.0, 0.0, 0.0])     # +x along the surface
+    return float(np.asarray(final.x - jnp.asarray(x0)) @ downhill)
+
+
+def test_friction_cone_stick_slip_threshold():
+    """Closed-form contact oracle (VERDICT r4 item 5): a block on an
+    incline sticks for tan(theta) < mu and slides for tan(theta) > mu.
+    mu = 0.8 -> critical angle 38.7 deg; 25 deg must hold still, 55 deg
+    must slide macroscopically."""
+    stick = _incline_slide(25.0)
+    slip = _incline_slide(55.0)
+    assert abs(stick) < 5e-3, stick
+    assert slip > 0.05, slip
+    assert slip > 10 * max(abs(stick), 1e-4)
+
+
+def test_damping_energy_decay_matches_exponential():
+    """Free flight with linear damping: v(t) = v0 exp(-c t) (+ gravity
+    on the vertical axis); the stepper's velocity decay must match the
+    closed form."""
+    spec = _cube_spec()
+    world = rigid.StaticWorld(                       # inactive collider
+        kinds=jnp.asarray([0], jnp.int32),
+        halfs=jnp.ones((1, 3), jnp.float32),
+        rounds=jnp.zeros((1,), jnp.float32),
+        inv_poses=jnp.eye(4, dtype=jnp.float32)[None],
+        mask=jnp.zeros((1,), jnp.float32))
+    c = 2.0
+    pp = rigid.default_params()._replace(
+        damp_lin=jnp.asarray(c, jnp.float32),
+        gravity=jnp.zeros(3, jnp.float32))
+    v0 = np.array([0.4, -0.2, 0.3], np.float32)
+    st0 = BodyState(x=jnp.asarray([0.0, 0.0, 5.0]),
+                    q=jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+                    v=jnp.asarray(v0), w=jnp.zeros(3))
+    n = 240                                          # 1 s
+    final, _ = rigid.rollout(spec, world, pp, st0, _free_track(n))
+    t = n * float(pp.dt)
+    got = np.asarray(final.v)
+    # the stepper damps with exp(-c dt) per substep (rigid.py:843), so
+    # the n-step decay IS the continuous closed form exp(-c t)
+    expect = v0 * np.exp(-c * t)
+    np.testing.assert_allclose(got, expect, rtol=5e-3, atol=1e-5)
+    assert np.linalg.norm(got) < np.linalg.norm(v0) * 0.2  # real decay
