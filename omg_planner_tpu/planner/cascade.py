@@ -90,7 +90,8 @@ def goal_blacklist(goal_set, mask: np.ndarray, goal_idx: int,
 def plan_cascade(scene: PlanningScene,
                  backends: Sequence[str] = ("analytic", "exact"),
                  fast: bool = True,
-                 goal_retries: int = 3) -> CascadeResult | None:
+                 goal_retries: int = 3,
+                 budget_s: float | None = None) -> CascadeResult | None:
     """Plan ``scene`` escalating until one verdict is SUCCESS; on total
     failure return the least-bad attempt by :func:`_fail_rank`.
 
@@ -120,12 +121,29 @@ def plan_cascade(scene: PlanningScene,
     an IK-FAIL refusal skips to the next backend WITHOUT counting — the
     ``continue`` (not ``break``) matters because goal-set validity is
     collision-filtered against each backend's own SDF, so a stricter
-    backend can still find valid goals."""
+    backend can still find valid goals.
+
+    ``budget_s`` is the operational analog of the reference's per-plan
+    wall-clock timeout (``omg/planner.py:629-630``, ``cfg.timeout=3``):
+    once the elapsed wall exceeds it, no FURTHER attempt launches and
+    the best result so far is returned.  A single jitted plan finishes
+    in milliseconds, so the in-plan break the reference needs is moot
+    here; the cascade's multi-attempt spend is where a budget bites
+    (DESIGN §7 item 6)."""
+    import time as _time
+
     base_cfg: OMGConfig = scene.cfg
     best = None
     attempts = 0
+    t_begin = _time.time()
+
+    def over_budget():
+        return budget_s is not None and _time.time() - t_begin > budget_s
+
     try:
         for name in backends:
+            if over_budget():
+                break
             over = BACKENDS[name]
             if any(getattr(base_cfg, k) != v for k, v in over.items()):
                 scene.cfg = base_cfg.replace(**over)
@@ -147,6 +165,8 @@ def plan_cascade(scene: PlanningScene,
                     if res.goal_mask is not None
                     else np.asarray(scene.goal_set.mask).copy())
             for _ in range(goal_retries):
+                if over_budget():
+                    break
                 mask = goal_blacklist(scene.goal_set, mask, res.goal_idx)
                 if not mask.any():
                     break

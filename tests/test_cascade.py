@@ -82,3 +82,47 @@ def test_cascade_suite_wave_pipelined():
     assert not outs2[7].flag
     assert outs2[7].attempts >= 2  # primary + at least one retry/backend
     assert hard[0][1].cfg == cfg_tiny
+
+
+def test_cascade_budget_stops_further_attempts(monkeypatch):
+    """budget_s (the reference cfg.timeout analog, omg/planner.py:629-630)
+    must stop the cascade from launching more attempts once the wall is
+    blown, returning the best-so-far instead of escalating."""
+    import time
+    import numpy as np
+    from omg_planner_tpu.planner import cascade as cas
+
+    calls = {"n": 0}
+
+    class FakeInfo:
+        collide = np.float32(3.0)
+        reach = np.float32(0.0)
+        cost = np.float32(1.0)
+
+    class FakeRes:
+        flag = np.bool_(False)
+        info = FakeInfo()
+        goal_idx = np.int32(0)
+        goal_mask = None
+
+    class FakeGoalSet:
+        grasps = np.zeros((4, 9), np.float32)
+        mask = np.ones(4, bool)
+
+    class FakeScene:
+        cfg = cas.OMGConfig(silent=True)
+        goal_set = FakeGoalSet()
+
+        def step(self, fast=True, goal_mask=None):
+            calls["n"] += 1
+            time.sleep(0.05)
+            return FakeRes()
+
+        def _sync_env_cfg(self):
+            pass
+
+    out = cas.plan_cascade(FakeScene(), backends=("analytic", "exact"),
+                           goal_retries=10, budget_s=0.01)
+    assert out is not None and not out.success
+    # one attempt ran (the budget was already blown when retries began)
+    assert calls["n"] == 1, calls
