@@ -107,15 +107,32 @@ def plan_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
     try:
         t0 = time.time()
         scene = _cached_scene(cfg, body)
-        problem = scene.build_problem()
+        # assume_goals: skip the blocking valid-goal sync here — the
+        # plan dispatch below overlaps it, hiding one tunnel round trip
+        # (~30 ms of a fresh request's wall); an empty goal set is
+        # detected from the mask while the (discarded) plan runs
+        problem = scene.build_problem(assume_goals=True)
         stage_s = time.time() - t0
     except (KeyError, ValueError) as e:
         return 400, {"error": str(e)}
-    if scene._n_valid_goals == 0 and cfg.goal_set_proj:
-        return 422, {"error": "IK FAIL: empty goal set (planning not run)"}
     t0 = time.time()
     res = scene._get_plan_fn(True)(scene.model, problem)
     import jax
+
+    n_goals = int(np.asarray(problem.goal_set.mask).sum())
+    if n_goals == 0 and cfg.goal_set_proj:
+        return 422, {"error": "IK FAIL: empty goal set (planning not run)"}
+
+    # overlapped harvest: every response field below is a device->host
+    # fetch, and each SERIAL fetch pays a full tunnel round trip
+    # (~30 ms here — 8 sequential np.asarray calls cost ~230 ms of the
+    # measured 293 ms request p50).  Start all copies concurrently
+    # before the first blocking read (the runner's r3 fix,
+    # planner/runner.py::plan_pipelined), collapsing the harvest to ~one
+    # round trip.
+    for leaf in jax.tree.leaves(res):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
     jax.block_until_ready(res.traj)
     plan_s = time.time() - t0
     return 200, {
@@ -123,7 +140,7 @@ def plan_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
         "steps_used": int(np.asarray(res.steps_used)),
         "goal_idx": int(np.asarray(res.goal_idx)),
         "traj": np.asarray(res.traj).tolist(),
-        "n_goals": int(scene._n_valid_goals),
+        "n_goals": n_goals,
         "info": {
             "reach": float(np.asarray(res.info.reach)),
             "collide": float(np.asarray(res.info.collide)),

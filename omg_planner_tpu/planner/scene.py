@@ -481,6 +481,7 @@ class PlanningScene:
         start = jnp.asarray(self.start, jnp.float32)
         end = jnp.asarray(self.end, jnp.float32)
         fused_init = None  # (end, traj0) riding the goal-set dispatch
+        cached_n_valid = None
         if cfg.goal_set_proj:
             if goal_set is None and getattr(self, "_precomputed_goals",
                                             None) is not None:
@@ -490,6 +491,10 @@ class PlanningScene:
                 key = (env.version, tuple(self.start), cfg.jit_key())
                 if staged is not None and staged[0] == key:
                     goal_set, fused_init = staged[1], staged[2]
+                    # valid-goal count rides the staged cache: the
+                    # host-side mask.sum() below costs one tunnel round
+                    # trip per request otherwise (serve p50)
+                    cached_n_valid = staged[3] if len(staged) > 3 else None
                 else:
                     goal_set = self.build_goal_set()
                     fused_init = getattr(self, "_staged_init", None)
@@ -507,7 +512,14 @@ class PlanningScene:
             self._n_valid_goals = -1  # unknown: caller checks the mask
             have_goals = True
         else:
-            self._n_valid_goals = int(goal_set.mask.sum())  # one device sync
+            if cached_n_valid is not None:
+                self._n_valid_goals = cached_n_valid
+            else:
+                self._n_valid_goals = int(goal_set.mask.sum())  # device sync
+                if (getattr(self, "_staged", None) is not None
+                        and len(self._staged) == 3
+                        and self._staged[1] is goal_set):
+                    self._staged = self._staged + (self._n_valid_goals,)
             have_goals = cfg.goal_set_proj and self._n_valid_goals > 0
         if have_goals and not cfg.dynamic_timestep:
             if fused_init is not None:

@@ -74,19 +74,25 @@ def main():
     rtt_ms = 1000.0 * float(np.median(rtts))
 
     def timed(dispatch, leaf, reps):
-        """(serial_ms, queued_ms) for a nullary dispatch closure."""
+        """(serial_ms, queued_ms) for a nullary dispatch closure.
+
+        queued = (first dispatch -> last result ready) / reps with all
+        reps enqueued asynchronously, MIN over 3 rounds — the tunnel
+        congests in bursts (single-round queued walls have been observed
+        4x apart minutes apart), and the min round is the least-congested
+        estimate of true device throughput."""
         jax.block_until_ready(leaf(dispatch()))  # warm
         serial = []
         for _ in range(reps):
             t0 = time.perf_counter()
             jax.block_until_ready(leaf(dispatch()))
             serial.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        hs = [dispatch() for _ in range(reps)]
-        jax.block_until_ready(leaf(hs[-1]))
-        for h in hs:
-            jax.block_until_ready(leaf(h))
-        queued = (time.perf_counter() - t0) / reps
+        queued = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            hs = [dispatch() for _ in range(reps)]
+            jax.block_until_ready(leaf(hs[-1]))
+            queued = min(queued, (time.perf_counter() - t0) / reps)
         return 1000.0 * float(np.median(serial)), 1000.0 * queued
 
     rows = []
@@ -124,11 +130,14 @@ def main():
         ps_, pq = retry_transient(
             lambda: timed(plan_dispatch, lambda r: r.traj, args.reps),
             "time plan")
+        steps = int(np.asarray(plan_dispatch().steps_used))
         rows.append({"scene": sid,
                      "build_serial_ms": round(bs, 2),
                      "build_queued_ms": round(bq, 2),
                      "plan_serial_ms": round(ps_, 2),
-                     "plan_queued_ms": round(pq, 2)})
+                     "plan_queued_ms": round(pq, 2),
+                     "steps_used": steps,
+                     "plan_ms_per_step": round(pq / max(steps, 1), 3)})
         print(json.dumps(rows[-1]), flush=True)
 
     # program-level cost analysis (FLOPs + bytes) for roofline bounds
@@ -153,10 +162,17 @@ def main():
     sol_rate = 1000.0 / (build_q + plan_q)
     hbm_bound_ms = plan_cost.get("hbm_gbytes", 0) / 819.0 * 1000.0
     mxu_bound_ms = plan_cost.get("gflops", 0) / 197e3 * 1000.0
+    bench_pipe = None
+    bench_path = os.path.join(os.path.dirname(SUITE), "..", "docs",
+                              "bench_r04b_analytic.json")
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            bench_pipe = json.load(f).get("pipelined_plans_per_s")
     report = {
         "what": __doc__.split("\n")[0],
         "device": str(jax.devices()[0]),
         "tunnel_rtt_ms": round(rtt_ms, 3),
+        "measured_pipelined_plans_per_s_r04b": bench_pipe,
         "per_scene": rows,
         "build_queued_ms_median": round(build_q, 2),
         "plan_queued_ms_median": round(plan_q, 2),
