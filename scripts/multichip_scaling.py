@@ -183,7 +183,14 @@ def main():
         print(json.dumps(row), flush=True)
         report["grid"].append(row)
 
-    # per-phase walls + collective stats at the goal-axis-relevant shapes
+    # per-phase walls + collective stats at the goal-axis-relevant
+    # shapes.  The goal axis does its real work in the BUILD phase (the
+    # sharded IK chain); the plan phase runs the gathered goal set
+    # replicated (VERDICT r4 weak #3) — so build is measured at both
+    # goal_ax values, plan at goal_ax=1 (its output shapes at
+    # goal_ax=2 depend on axis size, which eval_shape outside the mesh
+    # cannot bind; its per-step collective is a [G] float all_gather,
+    # estimated analytically below).
     report["phases"] = []
     for scene_ax, goal_ax in [(4, 1), (4, 2)]:
         n_dev = scene_ax * goal_ax
@@ -215,21 +222,29 @@ def main():
 
         w0 = stack(inps[:scene_ax])
         in_specs = jax.tree.map(lambda _: P("scene"), w0)
-        pr_example = jax.eval_shape(local_build, w0)
+
+        # output SHAPES via the replicated (unsharded) build — identical
+        # to the sharded build's (the sharded IK chain all_gathers back
+        # to the full survivor set); eval_shape cannot bind mesh axes
+        def one_build_shapes(inp):
+            pr = inp.problem
+            gset = gs_mod.build_goal_set(
+                model, cfg, pr.scene, pr.cost_params, inp.grasps_world,
+                inp.grasp_valid, pr.start, inp.key, obj_pos=inp.obj_pos)
+            end = gset.grasps[gs_mod.goal_idx_policy(cfg, gset, pr.start)]
+            return pr._replace(
+                goal_set=gset, end=end,
+                traj_init=init_trajectory(cfg, pr.start, end))
+
+        pr_example = jax.eval_shape(
+            lambda b: jax.lax.map(one_build_shapes, b), w0)
         pr_specs = jax.tree.map(lambda _: P("scene"), pr_example)
         build_j = jax.jit(jax.shard_map(
             local_build, mesh=mesh, in_specs=(in_specs,),
             out_specs=pr_specs, check_vma=False))
-        out_example = jax.eval_shape(local_plan, pr_example)
-        out_specs = jax.tree.map(lambda _: P("scene"), out_example)
-        plan_j = jax.jit(jax.shard_map(
-            local_plan, mesh=mesh, in_specs=(pr_specs,),
-            out_specs=out_specs, check_vma=False))
 
         prs = build_j(w0)
         jax.block_until_ready(prs.goal_set.grasps)
-        res = plan_j(prs)
-        jax.block_until_ready(res.traj)
 
         def timed(f, x, leaf):
             ws = []
@@ -239,34 +254,58 @@ def main():
                 ws.append(time.time() - t0)
             return float(np.median(ws))
 
-        t_build = timed(build_j, w0, lambda r: r.goal_set.grasps)
-        t_plan = timed(plan_j, prs, lambda r: r.traj)
         row = {
             "scene_ax": scene_ax, "goal_ax": goal_ax,
-            "build_wall_s": round(t_build, 3),
-            "plan_wall_s": round(t_plan, 3),
+            "build_wall_s": round(
+                timed(build_j, w0, lambda r: r.goal_set.grasps), 3),
             "build_collectives": collective_stats(
                 build_j.lower(w0).compile()),
-            "plan_collectives": collective_stats(
-                plan_j.lower(prs).compile()),
         }
+        if goal_ax == 1:
+            from omg_planner_tpu.planner.plan import plan_fast
+
+            out_example = jax.eval_shape(
+                lambda prs_: jax.lax.map(
+                    lambda p: plan_fast(model, cfg, p), prs_), pr_example)
+            out_specs = jax.tree.map(lambda _: P("scene"), out_example)
+            plan_j = jax.jit(jax.shard_map(
+                local_plan, mesh=mesh, in_specs=(pr_specs,),
+                out_specs=out_specs, check_vma=False))
+            jax.block_until_ready(plan_j(prs).traj)
+            row["plan_wall_s"] = round(
+                timed(plan_j, prs, lambda r: r.traj), 3)
+            row["plan_collectives"] = collective_stats(
+                plan_j.lower(prs).compile())
         print(json.dumps(row), flush=True)
         report["phases"].append(row)
 
-    # expected real-ICI story: per-step plan collective payload at v5e
-    # link bandwidth (~45 GB/s effective per direction, one hop)
-    g2 = next(p for p in report["phases"] if p["goal_ax"] == 2)
-    per_plan_bytes = g2["plan_collectives"].get("total_bytes", 0)
-    ici_s = per_plan_bytes / 45e9
+    # expected real-ICI story.  The plan phase's only per-step collective
+    # under the goal axis is the cost-vector all_gather: [G] f32 per
+    # participating step (parallel/batch.py::_plan_goal_sharded) — and at
+    # the production active-lane default it does not run at all (the
+    # sweep is replicated; the goal axis parallelizes the build).
+    g = cfg.goal_set_max_num
+    steps = cfg.optim_steps + cfg.extra_smooth_steps
+    per_plan_bytes = 4 * g * steps
     report["expected_ici"] = {
-        "plan_program_collective_bytes": per_plan_bytes,
+        "plan_per_step_collective_bytes": 4 * g,
+        "plan_program_collective_bytes_upper": per_plan_bytes,
         "ici_bw_assumed_GBps": 45,
-        "est_ici_time_s_per_plan": round(ici_s, 6),
-        "note": ("collective payloads are KB-scale; at ICI bandwidth "
-                 "the communication time per plan is microseconds — "
-                 "the mesh's non-embarrassingly-parallel term is "
-                 "latency (hops x ~1us per step collective), still "
-                 "<<1 ms against a ~7 ms/plan device budget"),
+        "est_ici_time_s_per_plan": round(per_plan_bytes / 45e9, 9),
+        "note": ("collective payloads are sub-KB; at ICI bandwidth the "
+                 "communication per plan is <1 us of bytes — the real "
+                 "cost is per-step collective LAUNCH latency (~1-5 us x "
+                 "70 steps ~ 0.1-0.4 ms) against a ~5.8 ms/plan device "
+                 "budget.  At the production active-lane default the "
+                 "plan loop is collective-free (replicated) and the "
+                 "goal axis accelerates only the IK build — the "
+                 "measured-negative basis for NOT sharding the K=32 "
+                 "active-lane sweep: its shardable work is <0.1 "
+                 "ms/step (device_budget_r05: 0.27 ms/step total, "
+                 "0.087 without the learner) while the unconditional "
+                 "compute-then-mask it would force on the 20 smoothing "
+                 "steps plus per-step launch latency cost the same "
+                 "order as the savings"),
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
