@@ -26,7 +26,8 @@ from ..planner.scene import PlanningScene
 
 def generate(n_scenes: int, out_dir: str, cfg: OMGConfig | None = None,
              n_obstacles: int = 3, fast: bool = True,
-             observations: bool = False, sim_verify: bool = True) -> int:
+             observations: bool = False, sim_verify: bool = True,
+             exec_retries: int = 0) -> int:
     """``observations=True`` records the RGB/depth/segmentation frame of
     each kept scene (the reference stores rendered observations with its
     demonstrations, ``bullet/gen_data.py:30-43``; RGB from
@@ -51,7 +52,19 @@ def generate(n_scenes: int, out_dir: str, cfg: OMGConfig | None = None,
             except NoMassModelError:  # no mass model: planner verdict only
                 rep = None
             if rep is not None and rep.reward != 1:
-                continue            # planned fine but does not lift: drop
+                # the reference DROPS failed rollouts (gen_data.py:153);
+                # exec_retries > 0 salvages the scene instead — steer to
+                # a goal whose lift verifies (planner/exec_verify.py)
+                if exec_retries > 0:
+                    from ..planner.exec_verify import plan_execute_verified
+
+                    out = plan_execute_verified(
+                        scene, exec_retries=exec_retries)
+                    if out is None or not out.verified:
+                        continue
+                    res, rep = out.result, out.report
+                else:
+                    continue        # planned fine but does not lift: drop
         goals = np.asarray(scene.goal_set.grasps)[
             np.asarray(scene.goal_set.mask)]
         meta = {
@@ -87,6 +100,10 @@ def main():
     ap.add_argument("--no-sim", action="store_true",
                     help="skip physics verification (keep on the "
                          "planner's execute verdict alone)")
+    ap.add_argument("--exec-retries", type=int, default=0,
+                    help="salvage failed lifts by re-planning with the "
+                         "failed goal blacklisted (instead of the "
+                         "reference's drop-the-demo filter)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -96,7 +113,8 @@ def main():
         from ..physics import ensure_cpu_backend
         ensure_cpu_backend()
     kept = generate(args.n, args.out, observations=args.obs,
-                    sim_verify=not args.no_sim)
+                    sim_verify=not args.no_sim,
+                    exec_retries=args.exec_retries)
     print(f"saved {kept}/{args.n} successful demonstrations to {args.out}")
 
 

@@ -158,7 +158,14 @@ def execute_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
     stepper (:mod:`omg_planner_tpu.physics`) and attach the lift-reward
     scorecard.  The reference's analogue is ``bullet/panda_scene.py``'s
     plan-then-execute loop; serving it lets a client gate on the
-    SIMULATED grasp outcome."""
+    SIMULATED grasp outcome.
+
+    Body knob ``"exec_retries"`` (default 0) enables execution-verified
+    planning (``planner/exec_verify.py``): a failed simulated lift
+    blacklists the goal's neighborhood and re-plans, returning the
+    first verified plan (response adds ``execution.exec_attempts`` /
+    ``execution.verified``)."""
+    retries = int(body.get("exec_retries", 0))
     code, payload = plan_request(body, base_cfg)
     if code != 200:
         return code, payload
@@ -171,10 +178,29 @@ def execute_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
     cfg = base_cfg.replace(**overrides) if overrides else base_cfg
     scene = _cached_scene(cfg, body)         # staged goal set reused
     t0 = time.time()
+    density = float(body.get("density", 300.0))
     try:
-        rep = execute_plan(scene, np.asarray(payload["traj"]),
-                           density=float(body.get("density", 300.0)))
-        payload["execution"] = rep.to_dict()
+        if retries > 0:
+            from ..planner.exec_verify import plan_execute_verified
+
+            out = plan_execute_verified(scene, exec_retries=retries,
+                                        density=density)
+            if out is not None and out.report is not None:
+                payload["execution"] = dict(
+                    out.report.to_dict(), verified=out.verified,
+                    exec_attempts=out.exec_attempts)
+                # the verified (possibly re-planned) trajectory is the
+                # one the client should execute
+                payload["traj"] = np.asarray(out.result.traj).tolist()
+                payload["flag"] = bool(np.asarray(out.result.flag))
+                payload["goal_idx"] = int(np.asarray(out.result.goal_idx))
+            else:
+                payload["execution"] = {"reward": 0,
+                                        "skipped": "no mass model"}
+        else:
+            rep = execute_plan(scene, np.asarray(payload["traj"]),
+                               density=density)
+            payload["execution"] = rep.to_dict()
     except NoMassModelError as e:            # no mass model for this target
         payload["execution"] = {"reward": 0, "skipped": str(e)}
     payload["timings"]["exec_s"] = round(time.time() - t0, 4)

@@ -102,5 +102,17 @@ def test_serve_plan_roundtrip():
         if out7["flag"]:
             assert out7["execution"]["reward"] in (0, 1)
             assert out7["timings"]["exec_s"] > 0
+
+        # execution-verified mode: failed lifts trigger goal-blacklist
+        # replans; the response reports the attempt count + verdict and
+        # carries the (possibly re-planned) verified trajectory
+        body8 = _scene_body()
+        body8["exec_retries"] = 2
+        code8, out8 = _post("/execute", body8)
+        assert code8 == 200, out8
+        if out8["flag"] and "skipped" not in out8["execution"]:
+            assert out8["execution"]["exec_attempts"] >= 1
+            assert out8["execution"]["verified"] in (True, False)
+            assert np.isfinite(np.asarray(out8["traj"])).all()
     finally:
         srv.shutdown()
