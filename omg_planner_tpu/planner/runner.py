@@ -47,13 +47,15 @@ _SCALAR_FIELDS = (
 
 @functools.lru_cache(maxsize=2)
 def _pack_fn():
-    """Device-side packing of a plan_fast result into FOUR arrays.
+    """Device-side packing of a plan_fast result into ONE flat f32 array.
 
-    A full PlanResult fetch touches ~23 distinct leaves and each leaf's
-    host copy pays a per-array round trip on the remote tunnel
-    (~0.3-1 ms/leaf — device_get was 55-75% of the whole pipelined pass
-    in profiles).  Packing the scalars into one vector cuts the fetch to
-    4 arrays; the host reconstructs the identical numpy PlanResult."""
+    A full PlanResult fetch touches ~23 distinct leaves and EVERY
+    array's host copy pays a per-fetch tunnel round trip (round-3
+    profile: device_get was 55-75% of the whole pipelined pass at ~23
+    fetches; the round-5 profile showed the 4-array pack still spending
+    80% of the pass in 4 x ~6 ms `_value` waits per scene).  One flat
+    buffer = one fetch; the host slices it back into the identical
+    numpy PlanResult (``_unpack_flat``)."""
     import jax
     import jax.numpy as jnp
 
@@ -67,9 +69,29 @@ def _pack_fn():
         masks = jnp.stack([
             mask,
             mask if res.goal_mask is None else res.goal_mask])
-        return res.traj, info.cost_traj, scalars, masks
+        return jnp.concatenate([
+            res.traj.reshape(-1).astype(jnp.float32),
+            info.cost_traj.reshape(-1).astype(jnp.float32),
+            scalars,
+            masks.reshape(-1).astype(jnp.float32)])
 
     return jax.jit(pack)
+
+
+_N_SCALARS = len(_SCALAR_FIELDS) + 3
+
+
+def _unpack_flat(flat, traj_shape, ct_shape, g):
+    """Slice the packed buffer back into (traj, cost_traj, scalars,
+    masks) and rebuild the result (shapes recorded at dispatch)."""
+    flat = np.asarray(flat)
+    nt = int(np.prod(traj_shape))
+    nc = int(np.prod(ct_shape))
+    traj = flat[:nt].reshape(traj_shape)
+    cost_traj = flat[nt:nt + nc].reshape(ct_shape)
+    scalars = flat[nt + nc:nt + nc + _N_SCALARS]
+    masks = flat[nt + nc + _N_SCALARS:].reshape(2, g) > 0.5
+    return _unpack_result(traj, cost_traj, scalars, masks)
 
 
 def _unpack_result(traj, cost_traj, scalars, masks):
@@ -226,25 +248,27 @@ def plan_pipelined(scenes, cfg: OMGConfig, model=None, depth: int = 4,
         # (a host sync on the mask here would serialize the pipeline)
         problem = pad_objects(sc.build_problem(assume_goals=True), max_obj)
         res = plan_one(model, sc.cfg.jit_key(), problem)
-        # pack the result into 4 device arrays (a full PlanResult fetch
-        # pays a per-leaf tunnel round trip x ~23 leaves) and queue the
-        # device->host copies NOW — they run after the plan finishes,
-        # overlapping later scenes' device work (measured: 77 ms/scene
-        # ready-result fetch -> 23 ms async -> ~2 ms packed)
+        # pack the result into ONE flat device array (each fetched array
+        # pays a full tunnel round trip — the 4-array pack still spent
+        # 80% of the pass waiting on 4 x ~6 ms copies per scene) and
+        # queue the device->host copy NOW — it runs after the plan
+        # finishes, overlapping later scenes' device work
         packed = _pack_fn()(res, problem.goal_set.mask)
-        jax.tree.map(lambda a: a.copy_to_host_async(), packed)
-        return packed, t0
+        packed.copy_to_host_async()
+        shapes = (res.traj.shape, res.info.cost_traj.shape,
+                  problem.goal_set.mask.shape[0])
+        return (packed, shapes), t0
 
     def harvest(sid, sc, handle):
-        packed, t0 = handle
+        (packed, shapes), t0 = handle
         try:
-            res, n_valid = _unpack_result(*jax.device_get(packed))
+            res, n_valid = _unpack_flat(packed, *shapes)
         except Exception:
             # transient fault: the whole in-flight window may be poisoned;
             # re-run this scene serially with retries
             def rerun():
-                p2, t2 = dispatch(sc)
-                return _unpack_result(*jax.device_get(p2))
+                (p2, sh2), _t2 = dispatch(sc)
+                return _unpack_flat(p2, *sh2)
 
             res, n_valid = retry_transient(rerun, f"pipelined scene {sid}")
         sc.env._scene_sdf = None  # HBM discipline
