@@ -216,7 +216,7 @@ def plan_cascade_suite(scenes, base_cfg: OMGConfig,
     from ..models import panda
     from ..ops.sdf import AnalyticScene, stage_scene_sdfs
     from ..parallel.batch import pad_objects
-    from .runner import _plan_one
+    from .runner import _pack_fn, _plan_one, _unpack_flat
 
     scenes = list(scenes)
     if model is None:
@@ -276,15 +276,22 @@ def plan_cascade_suite(scenes, base_cfg: OMGConfig,
                         cached_problems[sid] = pr
                     probs.append(pr)
                     h = plan_one(model, cfg_b.jit_key(), pr)
-                    # overlap device->host copies with later device work
-                    # (see runner.plan_pipelined.dispatch)
-                    jax.tree.map(lambda a: a.copy_to_host_async(), h)
-                    handles.append(h)
+                    # pack to ONE flat buffer + async copy: each fetched
+                    # array pays a full tunnel round trip (see
+                    # runner.plan_pipelined.dispatch — a raw PlanResult
+                    # is ~23 fetches per scene)
+                    packed = _pack_fn()(h, pr.goal_set.mask)
+                    packed.copy_to_host_async()
+                    handles.append((packed, (h.traj.shape,
+                                             h.info.cost_traj.shape,
+                                             pr.goal_set.mask.shape[0])))
                     attempts[sid] += 1
                 masks = [None] * len(batch)
                 live = list(range(len(batch)))
                 for wave in range(goal_retries + 1):
-                    fetched = jax.device_get([handles[i] for i in live])
+                    fetched = [_unpack_flat(handles[i][0],
+                                            *handles[i][1])[0]
+                               for i in live]
                     redispatch = []
                     for i, res in zip(live, fetched):
                         sid, sc = batch[i]
@@ -329,8 +336,11 @@ def plan_cascade_suite(scenes, base_cfg: OMGConfig,
                         pr2 = probs[i]._replace(
                             goal_set=gs_._replace(mask=jnp.asarray(mask)))
                         h = plan_one(model, cfg_b.jit_key(), pr2)
-                        jax.tree.map(lambda a: a.copy_to_host_async(), h)
-                        handles[i] = h
+                        packed = _pack_fn()(h, pr2.goal_set.mask)
+                        packed.copy_to_host_async()
+                        handles[i] = (packed, (h.traj.shape,
+                                               h.info.cost_traj.shape,
+                                               pr2.goal_set.mask.shape[0]))
                         attempts[sid] += 1
                         live.append(i)
                     if not live:
