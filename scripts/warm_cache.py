@@ -102,12 +102,31 @@ def staging_path(args):
     print(f"goal-set program: {time.time() - t0:.1f}s", flush=True)
 
     plan_one = jax.jit(plan_fast, static_argnums=(1,))
+    r = None
     for name, c in (("plan", cfg),
                     ("plan_full", cfg.replace(pre_terminate=False))):
         t0 = time.time()
         r = plan_one(scene.model, c.jit_key(), problem)
         jax.block_until_ready(r.traj)
         print(f"{name} program: {time.time() - t0:.1f}s", flush=True)
+
+    if args.physics:
+        # warm the physics rollout (execution-verified planning / serve
+        # /execute / phys_exec): one execution at the suite's static-pad
+        # shape compiles the scan rollout + lift-clearance + IK-retract
+        # programs (cold ~47 s TPU / ~20 s CPU)
+        import numpy as np
+
+        from omg_planner_tpu.physics import NoMassModelError, execute_plan
+
+        t0 = time.time()
+        try:
+            execute_plan(scene, np.asarray(r.traj),
+                         pad_statics=max_obj - 1)
+            print(f"physics rollout program: {time.time() - t0:.1f}s",
+                  flush=True)
+        except NoMassModelError:
+            print("physics rollout skipped: no mass model", flush=True)
     print("warm", flush=True)
 
 
@@ -138,6 +157,8 @@ def assert_coverage(args):
         base.append("--cpu")
     if args.scene:
         base += ["--scene", args.scene]
+    if args.physics:
+        base.append("--physics")
     subprocess.run(base, check=True)
     subprocess.run(base + ["--_check"], check=True)
 
@@ -154,6 +175,9 @@ def main():
                     help="warm in one fresh subprocess, then assert a "
                          "second fresh subprocess compiles nothing "
                          "expensive")
+    ap.add_argument("--physics", action="store_true",
+                    help="also warm the physics rollout programs "
+                         "(execution-verified planning / serve /execute)")
     ap.add_argument("--_check", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
     if args.assert_coverage:
