@@ -85,3 +85,56 @@ def test_no_mass_model_returns_unverified(scene, monkeypatch):
     assert out is not None and not out.verified
     assert out.report is None
     assert bool(np.asarray(out.result.flag))
+
+
+def test_plan_failure_routes_through_cascade(monkeypatch):
+    """cascade=True recovers plan-level failures via the escalation
+    cascade before execution retries apply."""
+    import numpy as np
+    from omg_planner_tpu.planner import exec_verify as ev
+
+    class FakeRes:
+        flag = np.bool_(True)
+        traj = np.zeros((4, 9), np.float32)
+        goal_idx = np.int32(0)
+        goal_mask = None
+
+    class FakeCascadeResult:
+        result = FakeRes()
+
+    calls = {"cascade": 0}
+
+    def fake_cascade(scene, fast=True):
+        calls["cascade"] += 1
+        return FakeCascadeResult()
+
+    class FakeGoalSet:
+        grasps = np.zeros((4, 9), np.float32)
+        mask = np.ones(4, bool)
+
+    class FakeScene:
+        goal_set = FakeGoalSet()
+
+        def step(self, fast=True, goal_mask=None):
+            return None                     # IK-FAIL refusal
+
+    monkeypatch.setattr(ev, "plan_cascade", fake_cascade)
+
+    import omg_planner_tpu.physics as phys
+    ok = phys.PhysExecReport(1, 0.3, 0.1, 0.0, 0.1, 0.02, 0.3)
+    monkeypatch.setattr(phys, "execute_plan", lambda sc, traj, **kw: ok)
+
+    out = ev.plan_execute_verified(FakeScene(), exec_retries=1,
+                                   cascade=True)
+    assert calls["cascade"] == 1
+    assert out is not None and out.verified
+
+
+def test_plan_failure_without_cascade_returns_none(monkeypatch):
+    from omg_planner_tpu.planner import exec_verify as ev
+
+    class FakeScene:
+        def step(self, fast=True, goal_mask=None):
+            return None
+
+    assert ev.plan_execute_verified(FakeScene(), exec_retries=1) is None
