@@ -79,7 +79,7 @@ def parse_script(path: str):
 
 
 def run_script(scene: PlanningScene, steps, fast: bool = False,
-               execute: bool = False):
+               execute: bool = False, exec_retries: int = 0):
     """Execute the parsed script; returns the per-step results.
 
     ``execute=True`` additionally scores each pick/place step in the
@@ -89,7 +89,12 @@ def run_script(scene: PlanningScene, steps, fast: bool = False,
     its planned scene state (the script's world model advances
     kinematically between steps, as in the reference's replanning loop);
     returns ``(results, exec_reports)`` where ``exec_reports[i]`` is the
-    step's PhysExecReport / PlaceExecReport dict."""
+    step's PhysExecReport / PlaceExecReport dict.
+
+    ``exec_retries`` > 0 makes PICK steps execution-verified
+    (``planner/exec_verify.py``): a pick whose simulated lift fails
+    re-plans with the failed goal's neighborhood blacklisted, so the
+    script continues from a grasp that actually holds."""
     conf = np.array(DEFAULT_START)
     held = None
     results = []
@@ -99,15 +104,33 @@ def run_script(scene: PlanningScene, steps, fast: bool = False,
         if kind == "ONCE":
             continue
         if kind == "T":
-            res = tasks.plan_to_target(scene, conf, step[1], fast=fast)
-            if res is not None:
-                conf = res.traj[-1]
-                held = step[1]
-                if execute:
+            if execute and exec_retries > 0:
+                # execution-verified pick: the task staging is exactly
+                # plan_to_target's (set target + start), then the
+                # simulate-blacklist-replan loop picks a holding grasp
+                from ..planner.exec_verify import plan_execute_verified
+
+                scene.env.set_target(step[1])
+                scene.start = np.asarray(conf)
+                out = plan_execute_verified(
+                    scene, exec_retries=exec_retries, fast=fast,
+                    lift_height=0.1)
+                res = out.result if out is not None else None
+                if out is not None and out.report is not None:
+                    reports[len(results)] = dict(
+                        out.report.to_dict(), verified=out.verified,
+                        exec_attempts=out.exec_attempts)
+            else:
+                res = tasks.plan_to_target(scene, conf, step[1],
+                                           fast=fast)
+                if res is not None and execute:
                     from ..physics import execute_plan
                     rep = execute_plan(scene, np.asarray(res.traj),
                                        lift_height=0.1)
                     reports[len(results)] = rep.to_dict()
+            if res is not None:
+                conf = res.traj[-1]
+                held = step[1]
             results.append(("pick", step[1], res))
         elif kind == "P":
             if held is None:
@@ -156,6 +179,9 @@ def main():
     ap.add_argument("--exec", dest="execute", action="store_true",
                     help="score each pick/place step in the native "
                          "physics stepper")
+    ap.add_argument("--exec-retries", type=int, default=0,
+                    help="execution-verified picks: a failed simulated "
+                         "lift blacklists the goal and re-plans")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -174,7 +200,8 @@ def main():
     reports = {}
     if args.execute:
         results, reports = run_script(scene, steps, fast=args.fast,
-                                      execute=True)
+                                      execute=True,
+                                      exec_retries=args.exec_retries)
     else:
         results = run_script(scene, steps, fast=args.fast)
     for i, (kind, what, res) in enumerate(results):
