@@ -451,7 +451,12 @@ def update_goal(
         k = min(cfg.learner_active_goals, goal_set.capacity)
 
         def partial_sweep(state):
-            gs_small = jax.tree.map(lambda a: a[state.active_idx], goal_set)
+            # take_rows, not a[idx]: fancy-indexing multi-dim rows lowers
+            # to the slow slice_sizes>1 lax.gather on v5e (DESIGN §3b)
+            from ..utils.linalg import take_rows
+
+            gs_small = jax.tree.map(
+                lambda a: take_rows(a, state.active_idx), goal_set)
             raw_small = cost_vector_raw(
                 model, scene, params, cfg, hp, traj, gs_small, t,
                 world_potential)
