@@ -67,6 +67,12 @@ def main(argv=None):
                          "lift, blacklist the goal's neighborhood and "
                          "re-plan, up to N times (0 = r4 behavior: "
                          "execute the first plan once)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="co-schedule the devices: plans stream through "
+                         "the TPU pipelined executor while a worker "
+                         "thread executes rollouts on the host CPU; "
+                         "exec-retries are resolved serially afterwards "
+                         "for the (few) failing scenes")
     ap.add_argument("--video", default="",
                     help="write an execution-replay video (robot + "
                          "simulated target pose) of the first executed "
@@ -83,11 +89,9 @@ def main(argv=None):
         ensure_cpu_backend()
 
     from omg_planner_tpu.config import OMGConfig
-    from omg_planner_tpu.physics import NoMassModelError, execute_plan
     from omg_planner_tpu.planner.scene import PlanningScene
 
     cfg = OMGConfig(silent=True)          # production defaults
-    rows = []
     pad = 0
     scenes = []
     for sid in range(args.scenes):
@@ -97,6 +101,124 @@ def main(argv=None):
         pad = max(pad, len(scene.env.objects) - 1)
 
     t_all = time.time()
+    if args.pipeline:
+        rows = _run_pipelined(args, cfg, scenes, pad)
+    else:
+        rows = _run_serial(args, cfg, scenes, pad)
+
+    planned = [r for r in rows if r.get("plan_flag")]
+    executed = [r for r in rows if r.get("executed")]
+    report = {
+        "what": ("plan (production cfg) + native physics execution + "
+                 "lift reward over the pinned hard suite"),
+        "n_scenes": len(rows),
+        "n_exec_skipped": len(planned) - len(executed),
+        "plan_success_rate": round(len(planned) / max(len(rows), 1), 3),
+        "exec_reward_rate_on_planned": round(
+            sum(r["reward"] for r in executed) / max(len(planned), 1), 3),
+        "exec_reward_rate_on_executed": round(
+            sum(r["reward"] for r in executed) / max(len(executed), 1), 3),
+        "end_to_end_reward_rate": round(
+            sum(r.get("reward", 0) for r in rows) / max(len(rows), 1), 3),
+        "mean_lifted_m_on_success": round(float(np.mean(
+            [r["lifted_m"] for r in executed if r["reward"]] or [0.0])), 3),
+        "wall_s": round(time.time() - t_all, 1),
+        "pipelined": bool(args.pipeline),
+        "scenes": rows,
+    }
+    line = json.dumps({k: v for k, v in report.items() if k != "scenes"})
+    print(line, flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"-> {args.out}", flush=True)
+
+
+def _run_pipelined(args, cfg, scenes, pad):
+    """TPU/CPU co-schedule: plans stream through ``plan_pipelined`` (TPU)
+    while a single worker thread replays rollouts on the host CPU — the
+    two devices work concurrently instead of strictly alternating (the
+    serial loop pays ~1 s plan + ~1.5 s rollout per scene back-to-back).
+    Scenes whose first rollout fails are re-planned execution-verified
+    afterwards (the failing fraction is small — ~0.08 of planned)."""
+    import concurrent.futures as cf
+
+    from omg_planner_tpu.models import panda
+    from omg_planner_tpu.physics import NoMassModelError, execute_plan
+    from omg_planner_tpu.planner.runner import plan_pipelined
+
+    model = panda.load_panda(collision_point_num=cfg.collision_point_num)
+    params = _pinch_params(args)
+    rows_by_sid = {}
+
+    def run_exec(sid, scene, traj):
+        try:
+            rep = execute_plan(scene, traj, density=args.density,
+                               pad_statics=pad, params=params)
+            return sid, rep, None
+        except NoMassModelError as e:
+            return sid, None, str(e)
+
+    # 2 workers: CPU rollout throughput 1.96 -> 3.68 exec/s measured
+    # (XLA CPU executes concurrently across threads; 3 workers plateau
+    # on this 4-core host)
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        futs = []
+        for sid, sc, res, dt in plan_pipelined(
+                scenes, cfg, model=model, depth=8):
+            row = {"scene": sid, "plan_wall_s": round(dt, 2)}
+            rows_by_sid[sid] = row
+            if res is None or not bool(np.asarray(res.flag)):
+                row.update(plan_flag=False, reward=0, executed=False)
+                continue
+            row["plan_flag"] = True
+            futs.append(pool.submit(run_exec, sid, sc,
+                                    np.asarray(res.traj)))
+        for fut in cf.as_completed(futs):
+            sid, rep, skip = fut.result()
+            row = rows_by_sid[sid]
+            if rep is None:
+                row.update(executed=False, reward=0, skip_reason=skip)
+            else:
+                row.update(executed=True, **rep.to_dict())
+            print(f"scene {sid}: reward {row['reward']}", flush=True)
+
+    if args.exec_retries > 0:
+        from omg_planner_tpu.planner.exec_verify import \
+            plan_execute_verified
+
+        by_sid = dict(scenes)
+        for sid, row in rows_by_sid.items():
+            if not row.get("executed") or row["reward"] == 1:
+                continue
+            out = plan_execute_verified(
+                by_sid[sid], exec_retries=args.exec_retries,
+                cascade=args.cascade, density=args.density,
+                pad_statics=pad, params=params)
+            if out is not None and out.report is not None:
+                row.update(exec_attempts=out.exec_attempts + 1,
+                           verified=out.verified, **out.report.to_dict())
+                print(f"scene {sid}: retried -> reward {row['reward']}",
+                      flush=True)
+    return [rows_by_sid[sid] for sid, _ in scenes]
+
+
+def _pinch_params(args):
+    if args.pinch <= 0:
+        return None
+    import jax.numpy as jnp
+
+    from omg_planner_tpu.physics import rigid
+    return rigid.default_params()._replace(
+        pinch_force=jnp.asarray(args.pinch, jnp.float32))
+
+
+def _run_serial(args, cfg, scenes, pad):
+    import time
+
+    from omg_planner_tpu.physics import NoMassModelError, execute_plan
+
+    rows = []
     for sid, scene in scenes:
         t0 = time.time()
         if args.exec_retries > 0:
@@ -168,32 +290,7 @@ def main(argv=None):
         print(f"scene {sid}: plan ok ({t_plan:.1f}s) -> reward "
               f"{row['reward']} lifted {row.get('lifted_m', 0):.3f} "
               f"({row.get('exec_wall_s', 0):.1f}s)", flush=True)
-
-    planned = [r for r in rows if r.get("plan_flag")]
-    executed = [r for r in rows if r.get("executed")]
-    report = {
-        "what": ("plan (production cfg) + native physics execution + "
-                 "lift reward over the pinned hard suite"),
-        "n_scenes": len(rows),
-        "n_exec_skipped": len(planned) - len(executed),
-        "plan_success_rate": round(len(planned) / max(len(rows), 1), 3),
-        "exec_reward_rate_on_planned": round(
-            sum(r["reward"] for r in executed) / max(len(planned), 1), 3),
-        "exec_reward_rate_on_executed": round(
-            sum(r["reward"] for r in executed) / max(len(executed), 1), 3),
-        "end_to_end_reward_rate": round(
-            sum(r.get("reward", 0) for r in rows) / max(len(rows), 1), 3),
-        "mean_lifted_m_on_success": round(float(np.mean(
-            [r["lifted_m"] for r in executed if r["reward"]] or [0.0])), 3),
-        "wall_s": round(time.time() - t_all, 1),
-        "scenes": rows,
-    }
-    line = json.dumps({k: v for k, v in report.items() if k != "scenes"})
-    print(line, flush=True)
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(report, f, indent=1)
-        print(f"-> {args.out}", flush=True)
+    return rows
 
 
 if __name__ == "__main__":
