@@ -107,19 +107,30 @@ def plan_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
     try:
         t0 = time.time()
         scene = _cached_scene(cfg, body)
-        # assume_goals: skip the blocking valid-goal sync here — the
-        # plan dispatch below overlaps it, hiding one tunnel round trip
-        # (~30 ms of a fresh request's wall); an empty goal set is
-        # detected from the mask while the (discarded) plan runs
-        problem = scene.build_problem(assume_goals=True)
-        stage_s = time.time() - t0
+        fused = None
+        if not scene.has_staged():
+            # fresh scene: ONE fused build+plan dispatch (halves the
+            # tunnel round trips vs build-then-plan)
+            fused = scene.plan_fresh()
+        if fused is not None:
+            res, goal_mask = fused
+            stage_s = time.time() - t0
+        else:
+            # staged repeat (or a scene the fused path doesn't cover):
+            # assume_goals skips the blocking valid-goal sync here — the
+            # plan dispatch overlaps it, hiding one round trip; an empty
+            # goal set is detected from the mask while the (discarded)
+            # plan runs
+            problem = scene.build_problem(assume_goals=True)
+            stage_s = time.time() - t0
+            res = scene._get_plan_fn(True)(scene.model, problem)
+            goal_mask = problem.goal_set.mask
     except (KeyError, ValueError) as e:
         return 400, {"error": str(e)}
     t0 = time.time()
-    res = scene._get_plan_fn(True)(scene.model, problem)
     import jax
 
-    n_goals = int(np.asarray(problem.goal_set.mask).sum())
+    n_goals = int(np.asarray(goal_mask).sum())
     if n_goals == 0 and cfg.goal_set_proj:
         return 422, {"error": "IK FAIL: empty goal set (planning not run)"}
 

@@ -313,6 +313,40 @@ def _goal_set_fn(cfg: OMGConfig, attached: bool, z_up: bool, y_up: bool):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=64)
+def _plan_fresh_fn(cfg: OMGConfig, attached: bool, z_up: bool, y_up: bool):
+    """Goal-set build + initial goal + spline + the FULL plan as ONE
+    device dispatch (pass ``cfg.jit_key()``).
+
+    The serve fresh-request path otherwise pays two dispatch+execute
+    cycles on the remote tunnel (~30 ms each: build, then plan); fusing
+    them halves the round trips — device time is unchanged (the two
+    programs were measured back-to-back ≈ the fused program,
+    docs/probe_pipeline_fetch_r05.json)."""
+
+    def f(model, scene_sdf, params, poses, start, key, obj_pos,
+          lo, hi, wp, wf):
+        if z_up:
+            poses = gs.z_upsample_poses(poses, obj_pos)
+        if y_up:
+            poses = gs.y_upsample_poses(poses)
+        valid = jnp.ones(poses.shape[0], bool)
+        goal_set = gs.build_goal_set(model, cfg, scene_sdf, params, poses,
+                                     valid, start, key, attached=attached,
+                                     obj_pos=obj_pos)
+        gi = gs.goal_idx_policy(cfg, goal_set, start)
+        end = goal_set.grasps[gi]
+        traj0 = plan_mod.init_trajectory(cfg, start, end)
+        problem = plan_mod.PlanProblem(
+            start=start, end=end, traj_init=traj0, goal_set=goal_set,
+            scene=scene_sdf, cost_params=params, joint_lower=lo,
+            joint_upper=hi, world_potential=wp, world_field=wf)
+        res = plan_mod.plan_fast(model, cfg, problem)
+        return goal_set, end, traj0, res
+
+    return jax.jit(f)
+
+
 @functools.lru_cache(maxsize=16)
 def _goal_set_batch_fn(cfg: OMGConfig, attached: bool, z_up: bool,
                        y_up: bool):
@@ -468,6 +502,48 @@ class PlanningScene:
             if n_valid == 0:
                 print(f"{t.name} IK FAIL")
         return goal_set
+
+    def has_staged(self) -> bool:
+        """True when the staged goal-set cache matches the current
+        (env version, start, cfg) — a repeat request re-plans off it
+        with no staging work."""
+        staged = getattr(self, "_staged", None)
+        return (staged is not None
+                and staged[0] == (self.env.version, tuple(self.start),
+                                  self.cfg.jit_key()))
+
+    def plan_fresh(self):
+        """Fresh-scene fast path: goal-set build + init + FULL plan in
+        ONE device dispatch (``_plan_fresh_fn``), halving the fresh
+        request's tunnel round trips vs build-then-plan.  Fills the
+        staged cache so subsequent requests take the repeat path.
+        Returns ``(result, goal_mask)`` device handles (the caller
+        harvests), or ``None`` when this scene needs the general path
+        (dynamic horizon, external/precomputed goals, goal-set off)."""
+        self._sync_env_cfg()
+        cfg = self.cfg
+        env = self.env
+        if (cfg.dynamic_timestep or not cfg.goal_set_proj
+                or getattr(self, "_precomputed_goals", None) is not None
+                or self.external_grasps is not None):
+            return None
+        t = env.target
+        poses = env.grasp_poses_world()
+        self.key, sub = jax.random.split(self.key)
+        fn = _plan_fresh_fn(cfg.jit_key(), bool(t.attached),
+                            bool(t.attached and cfg.z_upsample),
+                            bool(cfg.y_upsample and not t.attached))
+        lo, hi = self.model.soft_limits(cfg.soft_joint_limit_padding)
+        goal_set, end0, traj0, res = fn(
+            self.model, env.scene_sdf(), env.cost_params(),
+            jnp.asarray(poses, jnp.float32),
+            jnp.asarray(self.start, jnp.float32), sub,
+            jnp.asarray(t.pose_mat[:3, 3], jnp.float32),
+            lo, hi, self._world_potential(), self._world_field())
+        key = (env.version, tuple(self.start), cfg.jit_key())
+        self._staged = (key, goal_set, (end0, traj0))
+        self.goal_set = goal_set
+        return res, goal_set.mask
 
     def build_problem(self, goal_set: GoalSet | None = None,
                       assume_goals: bool = False) -> plan_mod.PlanProblem:

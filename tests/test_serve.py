@@ -116,3 +116,27 @@ def test_serve_plan_roundtrip():
             assert np.isfinite(np.asarray(out8["traj"])).all()
     finally:
         srv.shutdown()
+
+
+def test_plan_fresh_matches_two_dispatch():
+    """The fused fresh-request program (scene.plan_fresh: goal-set build
+    + init + plan in ONE dispatch) must reproduce the staged
+    build-then-plan path bit-comparably, and fill the staged cache so
+    the next request takes the repeat path."""
+    from omg_planner_tpu.planner.scene import PlanningScene
+
+    cfg = _small_cfg()
+    s1 = PlanningScene.synthetic(cfg, scene_id=2, n_obstacles=1)
+    fused = s1.plan_fresh()
+    assert fused is not None
+    r_f, mask = fused
+    assert s1.has_staged()
+    s2 = PlanningScene.synthetic(cfg, scene_id=2, n_obstacles=1)
+    r_s = s2.step(fast=True)
+    assert bool(np.asarray(r_f.flag)) == bool(np.asarray(r_s.flag))
+    np.testing.assert_allclose(np.asarray(r_f.traj),
+                               np.asarray(r_s.traj), atol=2e-3)
+    # unsupported modes fall back to the general path
+    s3 = PlanningScene.synthetic(cfg.replace(dynamic_timestep=True),
+                                 scene_id=2, n_obstacles=1)
+    assert s3.plan_fresh() is None
