@@ -58,8 +58,12 @@ def generate(n_scenes: int, out_dir: str, cfg: OMGConfig | None = None,
                 if exec_retries > 0:
                     from ..planner.exec_verify import plan_execute_verified
 
+                    # seed with the failure just observed: the loop
+                    # starts from its blacklist instead of re-planning
+                    # and re-rolling the known-bad attempt
                     out = plan_execute_verified(
-                        scene, exec_retries=exec_retries)
+                        scene, exec_retries=exec_retries,
+                        seed=(res, rep))
                     if out is None or not out.verified:
                         continue
                     res, rep = out.result, out.report

@@ -101,6 +101,10 @@ def main(argv=None):
         pad = max(pad, len(scene.env.objects) - 1)
 
     t_all = time.time()
+    if args.video and (args.pipeline or args.exec_retries > 0):
+        print("note: --video records only in the serial "
+              "non-exec-retries mode; flag ignored for this run",
+              flush=True)
     if args.pipeline:
         rows = _run_pipelined(args, cfg, scenes, pad)
     else:
@@ -136,11 +140,16 @@ def main(argv=None):
 
 def _run_pipelined(args, cfg, scenes, pad):
     """TPU/CPU co-schedule: plans stream through ``plan_pipelined`` (TPU)
-    while a single worker thread replays rollouts on the host CPU — the
-    two devices work concurrently instead of strictly alternating (the
-    serial loop pays ~1 s plan + ~1.5 s rollout per scene back-to-back).
-    Scenes whose first rollout fails are re-planned execution-verified
-    afterwards (the failing fraction is small — ~0.08 of planned)."""
+    while two worker threads replay rollouts on the host CPU (XLA CPU
+    executes concurrently across threads: 1.96 -> 3.68 exec/s measured;
+    3 workers plateau on this 4-core host) — the two devices work
+    concurrently instead of strictly alternating (the serial loop pays
+    ~1 s plan + ~1.5 s rollout per scene back-to-back).  Failures are
+    resolved serially afterwards: failed rollouts re-plan
+    execution-verified (seeded with the already-observed failure, so
+    the known-bad rollout is not repeated), and with ``--cascade``
+    plan-level failures get the backend escalation cascade too — the
+    same semantics as the serial path."""
     import concurrent.futures as cf
 
     from omg_planner_tpu.models import panda
@@ -150,6 +159,8 @@ def _run_pipelined(args, cfg, scenes, pad):
     model = panda.load_panda(collision_point_num=cfg.collision_point_num)
     params = _pinch_params(args)
     rows_by_sid = {}
+    results_by_sid = {}
+    reps_by_sid = {}
 
     def run_exec(sid, scene, traj):
         try:
@@ -159,9 +170,6 @@ def _run_pipelined(args, cfg, scenes, pad):
         except NoMassModelError as e:
             return sid, None, str(e)
 
-    # 2 workers: CPU rollout throughput 1.96 -> 3.68 exec/s measured
-    # (XLA CPU executes concurrently across threads; 3 workers plateau
-    # on this 4-core host)
     with cf.ThreadPoolExecutor(max_workers=2) as pool:
         futs = []
         for sid, sc, res, dt in plan_pipelined(
@@ -172,6 +180,7 @@ def _run_pipelined(args, cfg, scenes, pad):
                 row.update(plan_flag=False, reward=0, executed=False)
                 continue
             row["plan_flag"] = True
+            results_by_sid[sid] = res
             futs.append(pool.submit(run_exec, sid, sc,
                                     np.asarray(res.traj)))
         for fut in cf.as_completed(futs):
@@ -180,26 +189,40 @@ def _run_pipelined(args, cfg, scenes, pad):
             if rep is None:
                 row.update(executed=False, reward=0, skip_reason=skip)
             else:
+                reps_by_sid[sid] = rep
                 row.update(executed=True, **rep.to_dict())
             print(f"scene {sid}: reward {row['reward']}", flush=True)
 
-    if args.exec_retries > 0:
+    if args.exec_retries > 0 or args.cascade:
         from omg_planner_tpu.planner.exec_verify import \
             plan_execute_verified
 
         by_sid = dict(scenes)
         for sid, row in rows_by_sid.items():
-            if not row.get("executed") or row["reward"] == 1:
+            plan_failed = not row.get("plan_flag")
+            exec_failed = bool(row.get("executed")) and row["reward"] == 0
+            if plan_failed and not args.cascade:
                 continue
+            if not plan_failed and not exec_failed:
+                continue
+            if exec_failed and args.exec_retries == 0:
+                continue
+            seed = None
+            if exec_failed and sid in results_by_sid:
+                seed = (results_by_sid[sid], reps_by_sid.get(sid))
             out = plan_execute_verified(
                 by_sid[sid], exec_retries=args.exec_retries,
-                cascade=args.cascade, density=args.density,
+                cascade=args.cascade, seed=seed, density=args.density,
                 pad_statics=pad, params=params)
-            if out is not None and out.report is not None:
-                row.update(exec_attempts=out.exec_attempts + 1,
-                           verified=out.verified, **out.report.to_dict())
-                print(f"scene {sid}: retried -> reward {row['reward']}",
-                      flush=True)
+            if out is None or out.report is None:
+                continue           # keep the recorded failure
+            row.update(plan_flag=bool(np.asarray(out.result.flag)),
+                       executed=True,
+                       exec_attempts=out.exec_attempts
+                       + (1 if seed else 0),
+                       verified=out.verified, **out.report.to_dict())
+            print(f"scene {sid}: retried -> reward {row['reward']}",
+                  flush=True)
     return [rows_by_sid[sid] for sid, _ in scenes]
 
 
@@ -218,6 +241,7 @@ def _run_serial(args, cfg, scenes, pad):
 
     from omg_planner_tpu.physics import NoMassModelError, execute_plan
 
+    params = _pinch_params(args)
     rows = []
     for sid, scene in scenes:
         t0 = time.time()
@@ -225,12 +249,6 @@ def _run_serial(args, cfg, scenes, pad):
             from omg_planner_tpu.planner.exec_verify import \
                 plan_execute_verified
 
-            params = None
-            if args.pinch > 0:
-                import jax.numpy as jnp
-                from omg_planner_tpu.physics import rigid
-                params = rigid.default_params()._replace(
-                    pinch_force=jnp.asarray(args.pinch, jnp.float32))
             out = plan_execute_verified(
                 scene, exec_retries=args.exec_retries,
                 cascade=args.cascade, density=args.density,
@@ -269,12 +287,6 @@ def _run_serial(args, cfg, scenes, pad):
         t0 = time.time()
         want_video = bool(args.video) and not any(
             r.get("executed") for r in rows)
-        params = None
-        if args.pinch > 0:
-            import jax.numpy as jnp
-            from omg_planner_tpu.physics import rigid
-            params = rigid.default_params()._replace(
-                pinch_force=jnp.asarray(args.pinch, jnp.float32))
         try:
             out = execute_plan(scene, np.asarray(res.traj),
                                density=args.density, pad_statics=pad,

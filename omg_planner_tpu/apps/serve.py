@@ -206,8 +206,9 @@ def execute_request(body: dict, base_cfg: OMGConfig) -> tuple[int, dict]:
                 payload["flag"] = bool(np.asarray(out.result.flag))
                 payload["goal_idx"] = int(np.asarray(out.result.goal_idx))
             else:
-                payload["execution"] = {"reward": 0,
-                                        "skipped": "no mass model"}
+                reason = (out.reason if out is not None
+                          else "re-plan refused (IK FAIL)")
+                payload["execution"] = {"reward": 0, "skipped": reason}
         else:
             rep = execute_plan(scene, np.asarray(payload["traj"]),
                                density=density)

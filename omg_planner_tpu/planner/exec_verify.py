@@ -32,14 +32,16 @@ from typing import NamedTuple
 
 import numpy as np
 
-from .cascade import goal_blacklist, plan_cascade
+from .cascade import BACKENDS, goal_blacklist, plan_cascade
 
 
 class ExecVerifiedOut(NamedTuple):
     result: object          # PlanResult of the chosen attempt
     report: object          # PhysExecReport of that attempt (None: no exec)
-    exec_attempts: int      # executions run (1 = first plan lifted)
+    exec_attempts: int      # executions run HERE (seeded failure excluded)
     verified: bool          # True iff the returned plan's lift reward == 1
+    reason: str = ""        # why report is None ("plan failed" /
+    #                         "no mass model"); empty otherwise
 
 
 def _exec_rank(rep) -> tuple:
@@ -49,43 +51,80 @@ def _exec_rank(rep) -> tuple:
 
 def plan_execute_verified(scene, exec_retries: int = 2, fast: bool = True,
                           cascade: bool = False, plan_retries: int = 3,
-                          **exec_kw) -> ExecVerifiedOut | None:
+                          seed=None, **exec_kw) -> ExecVerifiedOut | None:
     """Plan ``scene``, execute the plan in the native stepper, and retry
     with the failed goal's neighborhood blacklisted until the simulated
     lift succeeds (up to ``exec_retries`` re-plans).
 
     ``cascade=True`` recovers plan-level failures with the backend
-    escalation cascade first (``plan_cascade``) — execution retries then
-    apply to whichever attempt produced a plan.  Returns ``None`` when no
-    plan exists at all (IK-FAIL refusal), otherwise the best attempt:
-    the first verified one, or the least-bad execution by
-    (hand distance, lift height).  ``exec_kw`` forwards to
+    escalation cascade first (``plan_cascade``); when the recovery came
+    from a DIFFERENT collision backend, the retry loop runs under that
+    backend's config (goal indices/masks are only meaningful against
+    the goal set they were built from — a base-config rebuild would
+    misalign them) and the session config is restored on exit.
+
+    ``seed=(result, report)`` feeds an attempt the CALLER already
+    executed (and observed failing): the loop starts from its blacklist
+    instead of re-planning and re-rolling the known failure —
+    ``exec_attempts`` then counts only executions run here.
+
+    Returns ``None`` when no plan exists at all (IK-FAIL refusal),
+    otherwise the best attempt: the first verified one, or the least-bad
+    execution by (hand distance, lift height).  ``exec_kw`` forwards to
     :func:`omg_planner_tpu.physics.execute_plan` (density, params,
     pad_statics...).
     """
+    base_cfg = getattr(scene, "cfg", None)
+    try:
+        return _verified_loop(scene, exec_retries, fast, cascade,
+                              plan_retries, seed, exec_kw)
+    finally:
+        if base_cfg is not None and scene.cfg is not base_cfg:
+            scene.cfg = base_cfg
+            scene._sync_env_cfg()
+
+
+def _verified_loop(scene, exec_retries, fast, cascade, plan_retries,
+                   seed, exec_kw):
     from ..physics import NoMassModelError, execute_plan
 
-    res = scene.step(fast=fast)
+    pre_rep = None
+    if seed is not None:
+        res, pre_rep = seed
+    else:
+        res = scene.step(fast=fast)
     if (res is None or not bool(np.asarray(res.flag))) and cascade:
         cr = plan_cascade(scene, fast=fast)
         if cr is not None:
             res = cr.result
+            over = BACKENDS.get(getattr(cr, "backend", None), {})
+            if any(getattr(scene.cfg, k) != v for k, v in over.items()):
+                # pin the recovering backend for the whole retry loop:
+                # res.goal_idx / goal_mask index ITS goal set, and
+                # scene.step below must rebuild the same set (the caller
+                # restores the session cfg)
+                scene.cfg = scene.cfg.replace(**over)
+                scene._sync_env_cfg()
     if res is None:
         return None
     if not bool(np.asarray(res.flag)):
-        return ExecVerifiedOut(res, None, 0, False)
+        return ExecVerifiedOut(res, None, 0, False, "plan failed")
 
     best = None
     n_exec = 0
     mask = (np.asarray(res.goal_mask).copy() if res.goal_mask is not None
             else np.asarray(scene.goal_set.mask).copy())
     for attempt in range(exec_retries + 1):
-        try:
-            rep = execute_plan(scene, np.asarray(res.traj), **exec_kw)
-        except NoMassModelError:
-            # no mass model: execution can neither verify nor refute
-            return ExecVerifiedOut(res, None, n_exec, False)
-        n_exec += 1
+        if attempt == 0 and pre_rep is not None:
+            rep = pre_rep          # caller already rolled this one out
+        else:
+            try:
+                rep = execute_plan(scene, np.asarray(res.traj), **exec_kw)
+            except NoMassModelError:
+                # no mass model: execution can neither verify nor refute
+                return ExecVerifiedOut(res, None, n_exec, False,
+                                       "no mass model")
+            n_exec += 1
         if rep.reward == 1:
             return ExecVerifiedOut(res, rep, n_exec, True)
         if best is None or _exec_rank(rep) < _exec_rank(best.report):

@@ -138,3 +138,69 @@ def test_plan_failure_without_cascade_returns_none(monkeypatch):
             return None
 
     assert ev.plan_execute_verified(FakeScene(), exec_retries=1) is None
+
+
+def test_cascade_backend_pinned_for_retries_then_restored(monkeypatch):
+    """When the cascade recovered the plan on a DIFFERENT backend, the
+    retry loop must re-plan under THAT backend's cfg (goal indices/masks
+    only align with the goal set they were built from) and restore the
+    session cfg on exit."""
+    import numpy as np
+    from omg_planner_tpu.config import OMGConfig
+    from omg_planner_tpu.planner import exec_verify as ev
+
+    base = OMGConfig(silent=True)            # sdf_analytic=True default
+    assert base.sdf_analytic
+
+    class FakeRes:
+        flag = np.bool_(True)
+        traj = np.zeros((4, 9), np.float32)
+        goal_idx = np.int32(0)
+        goal_mask = None
+
+    class FakeCR:
+        result = FakeRes()
+        backend = "exact"
+
+    class FakeGoalSet:
+        grasps = np.arange(36, dtype=np.float32).reshape(4, 9)
+        mask = np.ones(4, bool)
+
+    cfgs_seen = []
+
+    class FakeScene:
+        cfg = base
+        goal_set = FakeGoalSet()
+
+        def step(self, fast=True, goal_mask=None):
+            if goal_mask is None:
+                return None              # primary plan refuses -> cascade
+            cfgs_seen.append(self.cfg)   # retry re-plans: record the cfg
+            r = FakeRes()
+            r.goal_idx = np.int32(
+                int(np.nonzero(goal_mask)[0][0]))
+            return r
+
+        def _sync_env_cfg(self):
+            pass
+
+    monkeypatch.setattr(ev, "plan_cascade", lambda sc, fast=True: FakeCR())
+
+    import omg_planner_tpu.physics as phys
+    fail = phys.PhysExecReport(0, 0.0, 0.5, 0.0, 0.1, 0.02, 0.3)
+    ok = phys.PhysExecReport(1, 0.3, 0.1, 0.0, 0.1, 0.02, 0.3)
+    calls = {"n": 0}
+
+    def fake_exec(sc, traj, **kw):
+        calls["n"] += 1
+        return fail if calls["n"] == 1 else ok
+
+    monkeypatch.setattr(phys, "execute_plan", fake_exec)
+
+    sc = FakeScene()
+    out = ev.plan_execute_verified(sc, exec_retries=2, cascade=True)
+    assert out is not None and out.verified
+    # the retry re-plan ran under the EXACT backend's cfg...
+    assert cfgs_seen and all(not c.sdf_analytic for c in cfgs_seen)
+    # ...and the session cfg was restored afterwards
+    assert sc.cfg is base
