@@ -235,6 +235,15 @@ class OMGConfig:
     # uniform (Gumbel top-k) subsample survives — same distribution the
     # final `sample_goals` stage applies anyway. 0 disables.
     goal_prune_cap: int = 512
+    # dedupe execution strategy (identical kept set either way —
+    # goal_set.py::diversity_dedupe): "scan" replays the reference's
+    # sequential greedy pass; "rounds" resolves the same
+    # lexicographically-first MIS as a parallel fixed point (dependency-
+    # depth rounds of [C, C] mask reductions instead of C scan steps).
+    # Default "rounds": same-session A/B on the v5e measured the build
+    # program 13.9 -> 12.1 ms queued (1.146x, every scene wins,
+    # bit-identical goal sets — docs/probe_dedupe_r05.json).
+    dedupe_mode: str = "rounds"
     # in-plan goal blacklist (framework extension; the reference plans once
     # and reports FAIL, omg/planner.py:600-653): at steps s, s+every, ...
     # a plan still colliding above `allow_collision_point` masks out the

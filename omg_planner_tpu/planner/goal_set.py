@@ -152,13 +152,45 @@ def collision_prune(
 
 
 def diversity_dedupe(configs: jnp.ndarray, valid: jnp.ndarray,
-                     min_dist: float = 0.5):
+                     min_dist: float = 0.5, mode: str = "scan"):
     """Greedy config-space dedupe (``omg/planner.py:547-562``): keep a
-    candidate only if farther than ``min_dist`` from every kept one."""
+    candidate only if farther than ``min_dist`` from every kept one.
+
+    ``mode="scan"`` replays the reference's sequential greedy pass;
+    ``mode="rounds"`` computes the SAME kept set (the greedy result is
+    the lexicographically-first maximal independent set of the
+    conflict graph on valid nodes) as a parallel fixed point: each round
+    a lane resolves KEPT once every lower-indexed conflicting lane is
+    resolved REJECTED, and REJECTED as soon as some lower-indexed lane
+    is KEPT.  At least the whole prefix up to the first unresolved
+    dependency chain resolves per round, so round count is the conflict
+    graph's dependency depth (small for clustered grasp sets) instead of
+    C sequential scan steps — each round is two masked [C, C] any-
+    reductions, pure VPU width instead of loop latency."""
     c = configs.shape[0]
     d2 = jnp.sum(
         (configs[:, None, :] - configs[None, :, :]) ** 2, axis=-1)
     close = d2 < min_dist**2
+
+    if mode == "rounds":
+        lower_close = close & (jnp.arange(c)[None, :] < jnp.arange(c)[:, None])
+
+        def cond(state):
+            kept, rejected = state
+            return jnp.any(~kept & ~rejected)
+
+        def body(state):
+            kept, rejected = state
+            unknown = ~kept & ~rejected
+            blocked = jnp.any(lower_close & kept[None, :], axis=1)
+            ready = ~jnp.any(lower_close & ~rejected[None, :], axis=1)
+            kept = kept | (unknown & ready & ~blocked)
+            rejected = rejected | (unknown & blocked)
+            return kept, rejected
+
+        kept, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros(c, bool), ~valid))
+        return kept
 
     def body(kept, i):
         conflict = jnp.any(kept & close[i] & (jnp.arange(c) < i))
@@ -296,7 +328,7 @@ def build_goal_set(
 
     valid, potentials = collision_prune(
         model, scene, params, cfg, standoff, valid)
-    kept = diversity_dedupe(standoff, valid)
+    kept = diversity_dedupe(standoff, valid, mode=cfg.dedupe_mode)
     idx, mask = sample_goals(key, kept, cfg.goal_set_max_num)
 
     # take_rows: a[idx] on multi-dim rows lowers to the slow slice_sizes>1

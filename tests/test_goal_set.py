@@ -34,6 +34,34 @@ def test_diversity_dedupe():
     valid = jnp.asarray([True, True, True, True, False])
     kept = np.array(gs.diversity_dedupe(configs, valid))
     assert list(kept) == [True, False, True, False, False]
+    kept_r = np.array(gs.diversity_dedupe(configs, valid, mode="rounds"))
+    assert list(kept_r) == list(kept)
+
+
+def test_diversity_dedupe_rounds_matches_scan():
+    """The parallel MIS fixed point keeps the EXACT greedy set — on
+    clustered configs (grasp families), an invalid-heavy mask, and the
+    worst case for round count: a chain where lane i conflicts only with
+    its neighbors (each round resolves one link of the chain prefix)."""
+    rng = np.random.default_rng(0)
+    c = 96
+    for trial in range(20):
+        centers = rng.normal(size=(8, 9))
+        cfgs = (centers[rng.integers(0, 8, c)]
+                + rng.normal(size=(c, 9)) * rng.choice([0.05, 0.3, 0.6]))
+        valid = rng.random(c) > 0.3
+        a = np.asarray(gs.diversity_dedupe(
+            jnp.asarray(cfgs, jnp.float32), jnp.asarray(valid)))
+        b = np.asarray(gs.diversity_dedupe(
+            jnp.asarray(cfgs, jnp.float32), jnp.asarray(valid),
+            mode="rounds"))
+        assert (a == b).all(), f"trial {trial}"
+    chain = np.arange(c)[:, None] * 0.45 / 3.0 * np.ones((1, 9))
+    a = np.asarray(gs.diversity_dedupe(
+        jnp.asarray(chain, jnp.float32), jnp.ones(c, bool)))
+    b = np.asarray(gs.diversity_dedupe(
+        jnp.asarray(chain, jnp.float32), jnp.ones(c, bool), mode="rounds"))
+    assert (a == b).all()
 
 
 def test_sample_goals_respects_mask_and_capacity():
