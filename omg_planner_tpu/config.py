@@ -227,6 +227,17 @@ class OMGConfig:
     # build (probe_goalset_stages: 288 of 380 ms CPU).  25 measured
     # success-neutral with cap 256 (probe_goalset_knobs; 20 was not).
     ik_chain_max_iters: int = 25
+    # fuse the 6 sequential chain solves into ONE while_loop with
+    # per-lane stage advancement (ops/ik.py::_solve_chain_fused): total
+    # latency max_lane(sum_stage iters) instead of sum_stage(max_lane
+    # iters), and every lane's result becomes independent of batch
+    # composition (the sharded build needs no pmax-synced exit).
+    # Behavioral deviation from the scanned form: converged lanes stop at
+    # their own convergence instant (see DESIGN §7); parity runs pin it
+    # off.  Default on: same-session v5e A/B measured the build program
+    # 12.0 -> 10.3 ms queued (1.163x, all scenes win; goal sets match to
+    # a few dedupe tie-flips — docs/probe_chain_fused_r05.json).
+    ik_chain_fused: bool = True
     # compact candidate lanes to at most this many valid ones before the
     # collision prune / dedupe stages (goal_set.py): invalid lanes (failed
     # IK, limit-violating flips, task-space-filtered) need no collision

@@ -263,6 +263,104 @@ def solve_standoff_chain(
     return reach_traj, standoff_goal, valid
 
 
+def _solve_chain_fused(
+    model: panda.PandaModel,
+    cfg: OMGConfig,
+    chain_tgts: jnp.ndarray,  # [B, K, 4, 4] far-first chain targets
+    seeds: jnp.ndarray,       # [B, 7]
+    lower7: jnp.ndarray,
+    upper7: jnp.ndarray,
+    active: jnp.ndarray,      # [B]
+):
+    """The whole standoff chain as ONE while_loop with per-lane stage
+    advancement (``cfg.ik_chain_fused``).
+
+    The scan-of-while_loops form pays every stage's straggler serially:
+    total latency is ``sum_k max_lanes iters(k)``.  Here each lane walks
+    its own chain — when its current stage converges (twist error <=
+    tol, evaluated like the batch exit), it records the solution and
+    re-targets the next stage from the same q — so the loop runs
+    ``max_lanes sum_k iters(k)`` iterations: stage boundaries no longer
+    synchronize, and one slow lane at stage 2 overlaps another's stage 5.
+    A lane that exhausts ``ik_max_iters`` or stalls (no >=15%
+    improvement in ``ik_stall_window`` iterations) finishes the stage
+    and is graded by the same 10x-loose acceptance; a failed stage
+    removes the lane (its chain can't be valid) instead of burning
+    iterations on it.
+
+    Per-lane updates are identical Newton steps; what changes vs the
+    scanned form is WHEN a lane stops iterating: its own convergence
+    instant instead of the batch's max-gated exit (documented deviation,
+    DESIGN §7 — converged lanes no longer absorb extra sub-tolerance
+    updates while stragglers finish, which also makes every lane's
+    result independent of batch composition: the sharded build needs no
+    pmax-synced exit in this mode).
+
+    Returns (qs [B, K-1, 7] tail solutions, ok [B]).
+    """
+    b, k = chain_tgts.shape[0], chain_tgts.shape[1]
+    tol = cfg.ik_pos_tol
+    max_it = cfg.ik_max_iters
+    window = cfg.ik_stall_window
+    lam = cfg.ik_damping
+    eye6 = jnp.eye(6, dtype=seeds.dtype)
+
+    state = dict(
+        q=seeds,
+        s=jnp.where(active, 0, k),                # inactive lanes: done
+        it=jnp.zeros(b, jnp.int32),
+        err_best=jnp.full(b, jnp.inf, seeds.dtype),
+        stall=jnp.zeros(b, jnp.int32),
+        ok=active,
+        qs=jnp.zeros((b, k, 7), seeds.dtype),
+    )
+
+    def cond(st):
+        return jnp.any(st["s"] < k)
+
+    def body(st):
+        q, s = st["q"], st["s"]
+        live = s < k
+        onehot = jax.nn.one_hot(jnp.minimum(s, k - 1), k, dtype=q.dtype)
+        tgt_now = jnp.einsum("bk,bkij->bij", onehot, chain_tgts)
+        e, jac = _batch_error_and_jac(model, q, tgt_now)
+        err = jnp.linalg.norm(e, axis=1)
+
+        stalled = (st["stall"] >= window) if window else jnp.zeros(b, bool)
+        fin = live & ((err <= tol) | (st["it"] >= max_it) | stalled)
+        # acceptance at the recorded q (10x-loose, as the batch solver)
+        pos_err = jnp.linalg.norm(e[:, :3], axis=1)
+        rot_err = jnp.linalg.norm(e[:, 3:], axis=1)
+        succ = (pos_err < tol * 10) & (rot_err < cfg.ik_rot_tol * 10)
+
+        rec = (fin[:, None] * onehot)[:, :, None] > 0
+        qs = jnp.where(rec, q[:, None, :], st["qs"])
+        ok = st["ok"] & jnp.where(fin, succ, True)
+        # advance on success; a failed stage invalidates the chain -> done
+        s = jnp.where(fin, jnp.where(succ, s + 1, k), s)
+
+        # Newton update for lanes still iterating their stage
+        jjt = jnp.einsum("bij,bkj->bik", jac, jac) + lam * eye6
+        dq = jnp.einsum("bij,bi->bj", jac, solve_spd_unrolled(jjt, e))
+        q_new = jnp.clip(q + jnp.clip(dq, -0.5, 0.5), lower7, upper7)
+        upd = live & ~fin
+        improved = err < 0.85 * st["err_best"]
+
+        return dict(
+            q=jnp.where(upd[:, None], q_new, q),
+            s=s,
+            it=jnp.where(fin, 0, st["it"] + upd),
+            err_best=jnp.where(fin, jnp.inf,
+                               jnp.minimum(st["err_best"], err)),
+            stall=jnp.where(fin | improved, 0, st["stall"] + upd),
+            ok=ok,
+            qs=qs,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    return st["qs"][:, 1:], st["ok"]
+
+
 def solve_goal_set(
     model: panda.PandaModel,
     cfg: OMGConfig,
@@ -378,19 +476,23 @@ def solve_goal_set(
     # ik_max_iters; 0 = inherit (see cfg.ik_chain_max_iters)
     chain_cfg = (cfg.replace(ik_max_iters=cfg.ik_chain_max_iters)
                  if cfg.ik_chain_max_iters else cfg)
-
-    def chain_step(carry, tgt_k):
-        prev, ok, active = carry
-        res = ik_batch(model, tgt_k, prev, chain_cfg, lower7, upper7,
-                       active=active, err_reduce=err_reduce)
-        return (res.q, ok & res.success, active & res.success), res.q
-
     chain_tgts = jnp.concatenate(
         [tgt[:, -1:], tgt], axis=1)               # far first, then the tail
-    (_, ok, active), qs = jax.lax.scan(
-        chain_step, (seeds_b, active, active),
-        jnp.moveaxis(chain_tgts, 0, 1))
-    qs = jnp.moveaxis(qs[1:], 0, 1)               # [B, tail, 7]
+
+    if cfg.ik_chain_fused:
+        qs, ok = _solve_chain_fused(model, chain_cfg, chain_tgts, seeds_b,
+                                    lower7, upper7, active)
+    else:
+        def chain_step(carry, tgt_k):
+            prev, ok, active = carry
+            res = ik_batch(model, tgt_k, prev, chain_cfg, lower7, upper7,
+                           active=active, err_reduce=err_reduce)
+            return (res.q, ok & res.success, active & res.success), res.q
+
+        (_, ok, active), qs = jax.lax.scan(
+            chain_step, (seeds_b, active, active),
+            jnp.moveaxis(chain_tgts, 0, 1))
+        qs = jnp.moveaxis(qs[1:], 0, 1)           # [B, tail, 7]
     if not attached:
         qs = qs[:, ::-1]  # farthest ... grasp (planner.py:65)
     diff = jnp.linalg.norm(jnp.diff(qs, axis=1), axis=(1, 2))

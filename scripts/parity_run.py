@@ -85,6 +85,7 @@ def _ours_cfg():
         # shift which near-duplicate grasps survive, which flips
         # tie-broken goal picks on symmetric goal sets mid-plan
         ik_two_stage=False, ik_chain_max_iters=0, ik_stall_window=0,
+        ik_chain_fused=False,  # per-lane chain exit is OUR deviation
         # no in-plan blacklist restarts: the reference plans once and
         # reports FAIL (omg/planner.py:600-653)
         inplan_blacklist_step=0,

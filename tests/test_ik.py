@@ -102,3 +102,34 @@ def test_two_stage_matches_single_stage_validity():
     # two-stage may legitimately drop a lane whose prefilter stalls, but on
     # these easy reachable targets the sets must agree
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_fused_chain_matches_scanned_chain():
+    """cfg.ik_chain_fused: same valid set and sub-tolerance-equal
+    solutions on reachable targets (per-lane stage advancement stops each
+    lane at its own convergence instant, so exact bit-equality is not
+    expected — ops/ik.py::_solve_chain_fused docstring)."""
+    model = panda.load_panda()
+    lo, hi = model.soft_limits(OMGConfig().soft_joint_limit_padding)
+    rng = np.random.default_rng(17)
+    base = np.array([[0.0, -0.8, 0.0, -2.0, 0.0, 1.6, 0.785, 0.04, 0.04],
+                     [0.3, -1.0, 0.2, -2.2, 0.1, 1.5, 0.5, 0.04, 0.04]])
+    qs = np.concatenate([
+        base, base + rng.normal(size=(2, 9)) * 0.15,
+        base + rng.normal(size=(2, 9)) * 0.15])
+    qs[:, 7:] = 0.04
+    qs = jnp.asarray(qs, jnp.float32)
+    grasps = jax.vmap(lambda q: panda.hand_pose(model, q))(qs)
+    seeds = qs[:3, :7]
+
+    r_scan = ik.solve_goal_set(
+        model, OMGConfig(), grasps, seeds, lo[:7], hi[:7])
+    r_fused = ik.solve_goal_set(
+        model, OMGConfig(ik_chain_fused=True), grasps, seeds,
+        lo[:7], hi[:7])
+    v_scan, v_fused = np.array(r_scan[2]), np.array(r_fused[2])
+    np.testing.assert_array_equal(v_scan, v_fused)
+    both = v_scan & v_fused
+    for a, b in ((r_scan[0], r_fused[0]), (r_scan[1], r_fused[1])):
+        d = np.abs(np.array(a) - np.array(b)).reshape(len(both), -1).max(1)
+        assert d[both].max() < 5e-3, d[both].max()
