@@ -164,7 +164,7 @@ def main():
     mxu_bound_ms = plan_cost.get("gflops", 0) / 197e3 * 1000.0
     bench_pipe = None
     bench_path = os.path.join(os.path.dirname(SUITE), "..", "docs",
-                              "bench_r04b_analytic.json")
+                              "bench_r05c_analytic.json")
     if os.path.exists(bench_path):
         with open(bench_path) as f:
             bench_pipe = json.load(f).get("pipelined_plans_per_s")
@@ -172,7 +172,7 @@ def main():
         "what": __doc__.split("\n")[0],
         "device": str(jax.devices()[0]),
         "tunnel_rtt_ms": round(rtt_ms, 3),
-        "measured_pipelined_plans_per_s_r04b": bench_pipe,
+        "measured_pipelined_plans_per_s": bench_pipe,
         "per_scene": rows,
         "build_queued_ms_median": round(build_q, 2),
         "plan_queued_ms_median": round(plan_q, 2),
