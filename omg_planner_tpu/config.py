@@ -238,6 +238,21 @@ class OMGConfig:
     # 12.0 -> 10.3 ms queued (1.163x, all scenes win; goal sets match to
     # a few dedupe tie-flips — docs/probe_chain_fused_r05.json).
     ik_chain_fused: bool = True
+    # whole-chain iteration budget for the fused chain (0 = uncapped):
+    # the suite-measured per-lane completion distribution is p50 17 /
+    # p90 18 global iterations with a crawl tail to 39 (lanes inside
+    # the loose 10x acceptance improving <15%/iter, so the stall window
+    # never trips).  Lanes unfinished at the budget grade as IK
+    # failures; the cap trades the slowest ~p99 lanes for ~1/3 of the
+    # chain loop's latency.  Default 26: same-session v5e A/B measured
+    # build 10.4 -> 8.6 ms median (1.21x) with the VALID-GOAL count
+    # unchanged on every probe scene — the dropped crawl lanes never
+    # survive the prune/dedupe anyway (docs/probe_chain_budget_r05.json;
+    # 32 keeps more lanes but wins less, 9.3 ms).  Applies only in the
+    # regime it was calibrated in — warm two-stage chains on a full
+    # survivor-cap compaction (ops/ik.py gates it); small goal sets and
+    # cold chains run uncapped.
+    ik_chain_total_budget: int = 26
     # compact candidate lanes to at most this many valid ones before the
     # collision prune / dedupe stages (goal_set.py): invalid lanes (failed
     # IK, limit-violating flips, task-space-filtered) need no collision

@@ -304,6 +304,7 @@ def _solve_chain_fused(
     window = cfg.ik_stall_window
     lam = cfg.ik_damping
     eye6 = jnp.eye(6, dtype=seeds.dtype)
+    budget = cfg.ik_chain_total_budget
 
     state = dict(
         q=seeds,
@@ -313,10 +314,22 @@ def _solve_chain_fused(
         stall=jnp.zeros(b, jnp.int32),
         ok=active,
         qs=jnp.zeros((b, k, 7), seeds.dtype),
+        glob=jnp.asarray(0, jnp.int32),
     )
 
     def cond(st):
-        return jnp.any(st["s"] < k)
+        go = jnp.any(st["s"] < k)
+        if budget:
+            # whole-chain iteration budget: the suite-measured per-lane
+            # distribution is p50 17 / p90 18 with a crawl tail to 39 —
+            # lanes inside the loose 10x acceptance that improve <15%
+            # per iteration and so never trip the stall window.  Lanes
+            # unfinished at the budget are graded failed (a chain with
+            # missing stages can't be valid), trading the slowest ~p99
+            # lanes for ~1/3 of the loop's latency (measured A/B gates
+            # the default).
+            go = go & (st["glob"] < budget)
+        return go
 
     def body(st):
         q, s = st["q"], st["s"]
@@ -355,10 +368,13 @@ def _solve_chain_fused(
             stall=jnp.where(fin | improved, 0, st["stall"] + upd),
             ok=ok,
             qs=qs,
+            glob=st["glob"] + 1,
         )
 
     st = jax.lax.while_loop(cond, body, state)
-    return st["qs"][:, 1:], st["ok"]
+    # budget-capped lanes never completed every stage: not valid
+    ok = st["ok"] & (st["s"] >= k)
+    return st["qs"][:, 1:], ok
 
 
 def solve_goal_set(
@@ -480,6 +496,18 @@ def solve_goal_set(
         [tgt[:, -1:], tgt], axis=1)               # far first, then the tail
 
     if cfg.ik_chain_fused:
+        # the whole-chain iteration budget is calibrated in the
+        # production regime: WARM (prefilter-seeded) chains on a FULL
+        # survivor-cap compaction, where the p50 lane completes in 17
+        # global iterations and dropped crawl lanes are redundant
+        # near-duplicates.  Outside that regime the cap is disabled
+        # rather than miscalibrated: a cold chain's far solve alone can
+        # exceed the whole budget, and in a small (sub-cap) goal set
+        # every lane is a distinct goal candidate worth the tail
+        # latency.  (k_cap is the GLOBAL survivor count, so the sharded
+        # and single-chip builds make the identical decision.)
+        if not (cfg.ik_two_stage and k_cap >= cfg.ik_survivor_cap > 0):
+            chain_cfg = chain_cfg.replace(ik_chain_total_budget=0)
         qs, ok = _solve_chain_fused(model, chain_cfg, chain_tgts, seeds_b,
                                     lower7, upper7, active)
     else:
