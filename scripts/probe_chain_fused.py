@@ -46,7 +46,7 @@ def main():
     from omg_planner_tpu.planner.scene import PlanningScene, _goal_set_fn
     from omg_planner_tpu.utils.timing import retry_transient
 
-    cfgs = {"scan": OMGConfig(silent=True),
+    cfgs = {"scan": OMGConfig(silent=True, ik_chain_fused=False),
             "fused": OMGConfig(silent=True, ik_chain_fused=True)}
     model = panda.load_panda(
         collision_point_num=cfgs["scan"].collision_point_num)

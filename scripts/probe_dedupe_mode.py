@@ -45,7 +45,7 @@ def main():
     from omg_planner_tpu.planner.scene import PlanningScene, _goal_set_fn
     from omg_planner_tpu.utils.timing import retry_transient
 
-    cfg_scan = OMGConfig(silent=True)
+    cfg_scan = OMGConfig(silent=True, dedupe_mode="scan")
     cfg_rounds = cfg_scan.replace(dedupe_mode="rounds")
     model = panda.load_panda(collision_point_num=cfg_scan.collision_point_num)
 
